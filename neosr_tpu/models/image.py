@@ -1,0 +1,534 @@
+"""The SISR training strategy — functional, jitted, mesh-sharded.
+
+Capability counterpart of /root/reference/neosr/models/image.py:27-984, but
+the training step is a single pure function compiled once by XLA:
+
+    state' , logs = train_step(state, lq, gt)
+
+containing G forward + all configured losses + G update, the discriminator
+real/fake passes + D update (GAN mode), EMA update and the NaN guard.  The
+reference's GradScaler/autocast, requires_grad toggling, and
+`reduce_loss_dict` disappear: bf16 is a module dtype, D-freezing is
+`stop_gradient` / separate grad functions, and loss logging reads device
+scalars lazily.  Data parallelism comes from feeding mesh-sharded batches;
+XLA inserts the gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from neosr_tpu.archs import build_network
+from neosr_tpu.losses import build_loss
+from neosr_tpu.metrics import calculate_metric
+from neosr_tpu.models.base import base
+from neosr_tpu.optimizers import build_optimizer, current_lr, is_schedule_free, sf_eval_params
+from neosr_tpu.parallel.mesh import replicate, shard_batch
+from neosr_tpu.utils.checkpoint import export_safetensors, load_pytree, save_pytree
+from neosr_tpu.utils.img_util import imwrite, tensor2img
+from neosr_tpu.utils.logger import get_root_logger
+from neosr_tpu.utils.misc import tc
+from neosr_tpu.utils.registry import MODEL_REGISTRY
+
+# loss config keys consumed from [train] (reference image.py:153-221)
+_G_LOSS_KEYS = (
+    "pixel_opt",
+    "mssim_opt",
+    "fdl_opt",
+    "consistency_opt",
+    "ldl_opt",
+    "ff_opt",
+    "gw_opt",
+    "kl_opt",
+)
+_PERCEPTUAL_KEYS = ("perceptual_opt", "dists_opt")
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    rng: jax.Array
+    params_g: Any
+    opt_g: Any
+    ema_g: Any | None
+    params_d: Any | None
+    opt_d: Any | None
+    nan_count: jax.Array
+
+
+def _tree_where(pred: jax.Array, a: Any, b: Any) -> Any:
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+@MODEL_REGISTRY.register()
+class image(base):
+    """Single-image SR model (paired data)."""
+
+    def __init__(self, opt: dict[str, Any]) -> None:
+        super().__init__(opt)
+        logger = get_root_logger()
+        self.scale = opt["scale"]
+        self.use_amp = bool(opt.get("use_amp", False) or opt.get("bfloat16", False))
+        self.dtype = jnp.bfloat16 if self.use_amp else jnp.float32
+
+        self.net_g = build_network(opt["network_g"], self.scale, self.dtype)
+        logger.info(f"Network [net_g={opt['network_g']['type']}] created.")
+
+        train_opt = opt.get("train", {})
+        self.ema_decay = train_opt.get("ema", -1) if self.is_train else -1
+        self.accumulate = 1
+        self.net_d = None
+        self.cri_gan = None
+
+        # --- init params --------------------------------------------------
+        seed = opt.get("manual_seed", 0)
+        self.rng = jax.random.key(seed)
+        init_rng, self.rng = jax.random.split(self.rng)
+        if self.is_train:
+            patch = opt["datasets"]["train"].get("patch_size", 48)
+        else:
+            patch = 64
+        sample = jnp.zeros((1, patch, patch, 3), jnp.float32)
+        self.params_g = jax.jit(self.net_g.init)(init_rng, sample)["params"]
+        n_params = sum(int(x.size) for x in jax.tree.leaves(self.params_g))
+        logger.info(f"net_g parameters: {n_params:,d}")
+
+        # --- pretrained weights -------------------------------------------
+        load_path = opt.get("path", {}).get("pretrain_network_g")
+        if load_path:
+            self.params_g = self._load_network(
+                self.params_g, load_path,
+                opt["path"].get("param_key_g", "params"),
+                opt["path"].get("strict_load_g", True),
+            )
+
+        if self.is_train:
+            self._init_training_settings(train_opt)
+        else:
+            self.state = None
+            self.eval_params = self.params_g
+
+        # jitted eval forward (shared by test/validation)
+        self._apply_fn = jax.jit(
+            lambda params, x: self.net_g.apply({"params": params}, x).astype(jnp.float32)
+        )
+
+    # ------------------------------------------------------------ training
+    def _init_training_settings(self, train_opt: dict[str, Any]) -> None:
+        logger = get_root_logger()
+        opt = self.opt
+
+        # ---- losses ------------------------------------------------------
+        self.g_losses: dict[str, Any] = {}
+        for key in _G_LOSS_KEYS + _PERCEPTUAL_KEYS:
+            cfg = train_opt.get(key)
+            if cfg:
+                name = key.replace("_opt", "")
+                try:
+                    self.g_losses[f"l_g_{name}"] = build_loss(cfg)
+                except KeyError:
+                    logger.warning(f"Loss {cfg.get('type')} not yet available, skipped.")
+        if train_opt.get("gan_opt"):
+            self.cri_gan = build_loss(train_opt["gan_opt"])
+
+        if not self.g_losses and self.cri_gan is None:
+            msg = f"{tc.red}No loss configured. Please set at least one loss in [train].{tc.end}"
+            raise ValueError(msg)
+        if train_opt.get("gan_opt") and not opt.get("network_d"):
+            msg = f"{tc.red}gan_opt requires [network_d].{tc.end}"
+            raise ValueError(msg)
+        if opt.get("network_d") and not train_opt.get("gan_opt"):
+            msg = f"{tc.red}[network_d] set but no gan_opt configured.{tc.end}"
+            raise ValueError(msg)
+
+        # ---- discriminator ----------------------------------------------
+        self.params_d = None
+        if opt.get("network_d") and self.cri_gan is not None:
+            self.net_d = build_network(opt["network_d"], None, self.dtype)
+            logger.info(f"Network [net_d={opt['network_d']['type']}] created.")
+            init_rng, self.rng = jax.random.split(self.rng)
+            patch = opt["datasets"]["train"].get("patch_size", 48)
+            hr = patch * self.scale
+            self.params_d = self.net_d.init(
+                init_rng, jnp.zeros((1, hr, hr, 3), jnp.float32)
+            )["params"]
+            load_path_d = opt.get("path", {}).get("pretrain_network_d")
+            if load_path_d:
+                self.params_d = self._load_network(
+                    self.params_d, load_path_d,
+                    opt["path"].get("param_key_d", "params"),
+                    opt["path"].get("strict_load_d", True),
+                )
+
+        # ---- optimizers --------------------------------------------------
+        total_iter = opt.get("logger", {}).get("total_iter", 1_000_000)
+        warmup = train_opt.get("warmup_iter", -1)
+        self.accumulate = opt["datasets"]["train"].get("accumulate", 1) or 1
+        self.grad_clip = train_opt.get("grad_clip", False)
+
+        self.optim_g, self.lr_g = self._make_optim(
+            train_opt["optim_g"], train_opt.get("scheduler"), total_iter, warmup
+        )
+        opt_g_state = self.optim_g.init(self.params_g)
+        self.sf_g = is_schedule_free(opt_g_state)
+
+        self.optim_d, self.lr_d = None, None
+        opt_d_state = None
+        if self.params_d is not None:
+            self.optim_d, self.lr_d = self._make_optim(
+                train_opt["optim_d"], train_opt.get("scheduler"), total_iter, warmup
+            )
+            opt_d_state = self.optim_d.init(self.params_d)
+            self.sf_d = is_schedule_free(opt_d_state)
+
+        ema_g = jax.tree.map(jnp.copy, self.params_g) if self.ema_decay > 0 else None
+
+        state = TrainState(
+            step=jnp.zeros([], jnp.int32),
+            rng=self.rng,
+            params_g=self.params_g,
+            opt_g=opt_g_state,
+            ema_g=ema_g,
+            params_d=self.params_d,
+            opt_d=opt_d_state,
+            nan_count=jnp.zeros([], jnp.int32),
+        )
+        self.state = replicate(state, self.mesh)
+        self._train_step = jax.jit(self._make_train_step(), donate_argnums=0)
+
+    def _make_optim(self, optim_cfg, sched_cfg, total_iter, warmup):
+        optim, lr = build_optimizer(optim_cfg, sched_cfg, total_iter, warmup)
+        chain = []
+        if self.grad_clip:
+            chain.append(optax.clip_by_global_norm(1.0))
+        chain.append(optim)
+        optim = optax.chain(*chain) if len(chain) > 1 else optim
+        if self.accumulate > 1:
+            optim = optax.MultiSteps(optim, every_k_schedule=self.accumulate)
+        return optim, lr
+
+    def _make_train_step(self):
+        net_g, net_d = self.net_g, self.net_d
+        g_losses = dict(self.g_losses)
+        cri_gan = self.cri_gan
+        optim_g, optim_d = self.optim_g, self.optim_d
+        ema_decay = self.ema_decay
+
+        def g_loss_fn(params_g, params_d, lq, gt, rng):
+            out = net_g.apply(
+                {"params": params_g}, lq, deterministic=False,
+                rngs={"dropout": rng},
+            ).astype(jnp.float32)
+            losses = {}
+            total = jnp.zeros([], jnp.float32)
+            for name, fn in g_losses.items():
+                val = fn(out, gt).astype(jnp.float32)
+                losses[name] = val
+                total = total + val
+            if net_d is not None and cri_gan is not None:
+                fake_pred = net_d.apply({"params": params_d}, out)
+                l_g_gan = cri_gan(fake_pred, True, is_disc=False).astype(jnp.float32)
+                losses["l_g_gan"] = l_g_gan
+                total = total + l_g_gan
+            losses["l_g_total"] = total
+            return total, (losses, out)
+
+        def d_loss_fn(params_d, out, gt):
+            real_pred = net_d.apply({"params": params_d}, gt)
+            l_d_real = cri_gan(real_pred, True, is_disc=True).astype(jnp.float32)
+            fake_pred = net_d.apply({"params": params_d}, jax.lax.stop_gradient(out))
+            l_d_fake = cri_gan(fake_pred, False, is_disc=True).astype(jnp.float32)
+            total = l_d_real + l_d_fake
+            return total, {"l_d_real": l_d_real, "l_d_fake": l_d_fake}
+
+        def train_step(state: TrainState, lq: jax.Array, gt: jax.Array):
+            rng, step_rng = jax.random.split(state.rng)
+
+            (loss_g, (losses, out)), grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(state.params_g, state.params_d, lq, gt, step_rng)
+
+            finite = jnp.isfinite(loss_g)
+            updates, opt_g = optim_g.update(grads, state.opt_g, state.params_g)
+            params_g = optax.apply_updates(state.params_g, updates)
+            params_g = _tree_where(finite, params_g, state.params_g)
+            opt_g = _tree_where(finite, opt_g, state.opt_g)
+
+            params_d, opt_d = state.params_d, state.opt_d
+            if net_d is not None:
+                (loss_d, d_losses), grads_d = jax.value_and_grad(
+                    d_loss_fn, has_aux=True
+                )(state.params_d, out, gt)
+                losses.update(d_losses)
+                finite_d = jnp.isfinite(loss_d)
+                updates_d, opt_d = optim_d.update(grads_d, state.opt_d, state.params_d)
+                params_d = optax.apply_updates(state.params_d, updates_d)
+                params_d = _tree_where(finite_d, params_d, state.params_d)
+                opt_d = _tree_where(finite_d, opt_d, state.opt_d)
+                finite = finite & finite_d
+
+            ema_g = state.ema_g
+            if ema_decay > 0:
+                ema_g = jax.tree.map(
+                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    state.ema_g, params_g,
+                )
+
+            new_state = state.replace(
+                step=state.step + 1,
+                rng=rng,
+                params_g=params_g,
+                opt_g=opt_g,
+                ema_g=ema_g,
+                params_d=params_d,
+                opt_d=opt_d,
+                nan_count=state.nan_count + jnp.where(finite, 0, 1),
+            )
+            return new_state, losses
+
+        return train_step
+
+    # ----------------------------------------------------------- data flow
+    def feed_data(self, data: dict[str, Any]) -> None:
+        batch = {k: v for k, v in data.items() if isinstance(v, np.ndarray)}
+        batch = shard_batch(batch, self.mesh)
+        self.lq = batch["lq"]
+        self.gt = batch.get("gt")
+
+    def optimize_parameters(self, current_iter: int) -> None:
+        self.state, losses = self._train_step(self.state, self.lq, self.gt)
+        self.log_dict = losses
+
+    def get_current_log(self) -> dict[str, float]:
+        out = {k: float(v) for k, v in self.log_dict.items()}
+        nan = int(jax.device_get(self.state.nan_count)) if self.state is not None else 0
+        if nan > 0:
+            msg = f"{tc.red}NaN detected in {nan} training step(s). Aborting.{tc.end}"
+            raise RuntimeError(msg)
+        return out
+
+    def get_current_learning_rate(self) -> list[float]:
+        step = int(jax.device_get(self.state.step)) if self.state is not None else 0
+        lrs = [current_lr(self.lr_g, step)]
+        if self.lr_d is not None:
+            lrs.append(current_lr(self.lr_d, step))
+        return lrs
+
+    # --------------------------------------------------------------- eval
+    def _eval_params(self):
+        """Parameters used for validation/inference (EMA > SF-average > raw)."""
+        if not self.is_train or self.state is None:
+            return self.eval_params
+        state = self.state
+        if self.ema_decay > 0:
+            return state.ema_g
+        if self.sf_g:
+            return sf_eval_params(state.opt_g, state.params_g)
+        return state.params_g
+
+    def test(self) -> None:
+        """Run net_g on self.lq -> self.output (whole image or tiled)."""
+        params = self._eval_params()
+        tile = self.opt.get("val", {}).get("tile", -1) if self.opt.get("val") else -1
+        lq = self.lq
+        if tile == -1:
+            self.output = self._padded_forward(params, lq)
+        else:
+            self.output = self._tiled_forward(params, lq, tile)
+
+    def _padded_forward(self, params, lq, multiple: int = 64):
+        """Pad H/W up to a bucket multiple (limits recompiles), then crop."""
+        n, h, w, c = lq.shape
+        ph = -h % multiple
+        pw = -w % multiple
+        if ph or pw:
+            lq = np.asarray(jax.device_get(lq))
+            lq = np.pad(lq, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+        out = self._apply_fn(params, lq)
+        s = self.scale
+        return out[:, : h * s, : w * s, :]
+
+    def _tiled_forward(self, params, lq, tile: int, overlap: int = 16):
+        """Overlapping-tile inference with seam cropping (reference
+        image.py:684-784 semantics, static tile shapes for one compile)."""
+        n, h, w, c = lq.shape
+        s = self.scale
+        lq_np = np.asarray(jax.device_get(lq))
+        out = np.zeros((n, h * s, w * s, c), dtype=np.float32)
+        step = tile - 2 * overlap
+        if step <= 0:
+            step = tile
+            overlap = 0
+        ys = list(range(0, max(h - overlap, 1), step))
+        xs = list(range(0, max(w - overlap, 1), step))
+        for y0 in ys:
+            for x0 in xs:
+                y1, x1 = min(y0 + tile, h), min(x0 + tile, w)
+                y0c, x0c = max(y1 - tile, 0), max(x1 - tile, 0)
+                patch = lq_np[:, y0c:y1, x0c:x1, :]
+                pad_h = tile - patch.shape[1]
+                pad_w = tile - patch.shape[2]
+                if pad_h or pad_w:
+                    patch = np.pad(
+                        patch, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="reflect"
+                    )
+                sr = np.asarray(self._apply_fn(params, patch))[:, : (y1 - y0c) * s, : (x1 - x0c) * s, :]
+                # valid interior (crop seam overlap except at borders)
+                ty0 = y0c * s + (overlap * s if y0c > 0 else 0)
+                tx0 = x0c * s + (overlap * s if x0c > 0 else 0)
+                sy0 = ty0 - y0c * s
+                sx0 = tx0 - x0c * s
+                out[:, ty0 : y1 * s, tx0 : x1 * s, :] = sr[:, sy0:, sx0:, :]
+        return out
+
+    def nondist_validation(
+        self, dataloader, current_iter: int, tb_logger=None, save_img: bool = True
+    ) -> None:
+        dataset_name = dataloader.dataset.opt.get("name", "val")
+        with_metrics = bool(self.opt.get("val", {}).get("metrics"))
+        metric_results: dict[str, float] = {}
+        if with_metrics:
+            self._initialize_best_metric_results(dataset_name)
+            metric_results = dict.fromkeys(self.opt["val"]["metrics"], 0.0)
+
+        n_imgs = 0
+        for val_data in dataloader:
+            img_name = Path(val_data["lq_path"]).stem
+            self.feed_data(val_data)
+            self.test()
+            sr_img_rgb = tensor2img(jax.device_get(self.output), rgb2bgr=False)
+            n_imgs += 1
+
+            if save_img:
+                if self.opt["is_train"]:
+                    save_path = (
+                        Path(self.opt["path"]["visualization"]) / img_name
+                        / f"{img_name}_{current_iter}.png"
+                    )
+                else:
+                    suffix = self.opt.get("val", {}).get("suffix") or self.opt["name"]
+                    save_path = (
+                        Path(self.opt["path"]["visualization"]) / dataset_name
+                        / f"{img_name}_{suffix}.png"
+                    )
+                imwrite(sr_img_rgb[..., ::-1], save_path)
+
+            if with_metrics and "gt" in val_data:
+                gt_img_rgb = tensor2img(np.asarray(val_data["gt"]), rgb2bgr=False)
+                # guard size mismatch (odd val sizes)
+                h = min(sr_img_rgb.shape[0], gt_img_rgb.shape[0])
+                w = min(sr_img_rgb.shape[1], gt_img_rgb.shape[1])
+                data = {"img": sr_img_rgb[:h, :w], "img2": gt_img_rgb[:h, :w]}
+                for name, opt_ in self.opt["val"]["metrics"].items():
+                    metric_results[name] += calculate_metric(data, opt_)
+
+        if with_metrics and n_imgs:
+            for metric in metric_results:
+                metric_results[metric] /= n_imgs
+                self._update_best_metric_result(
+                    dataset_name, metric, metric_results[metric], current_iter
+                )
+            self._log_validation_metric_values(
+                current_iter, dataset_name, tb_logger, metric_results
+            )
+            self.metric_results = metric_results
+
+    # --------------------------------------------------------- checkpoints
+    def _load_network(self, target, load_path: str, param_key: str, strict: bool):
+        logger = get_root_logger()
+        loaded = load_pytree(load_path)
+        for key in (param_key, "params-ema", "params_ema", "params"):
+            if isinstance(loaded, dict) and key in loaded:
+                loaded = loaded[key]
+                break
+        try:
+            restored = jax.tree.map(lambda t, l: jnp.asarray(l).astype(t.dtype).reshape(t.shape),
+                                    target, loaded)
+            logger.info(f"Loaded pretrained network from {load_path}")
+            return restored
+        except Exception as e:
+            if strict:
+                msg = f"Failed strict load from {load_path}: {e}"
+                raise ValueError(msg) from e
+            logger.warning(f"Non-strict load from {load_path}: merging matching keys")
+            # fall back: merge by identical nested paths
+            def merge(t, l):
+                if isinstance(t, dict) and isinstance(l, dict):
+                    return {k: merge(t[k], l[k]) if k in l else t[k] for k in t}
+                try:
+                    arr = jnp.asarray(l)
+                    return arr if arr.shape == t.shape else t
+                except Exception:
+                    return t
+            return merge(target, loaded)
+
+    def save(self, epoch: int, current_iter: int) -> None:
+        if self.opt.get("rank", 0) != 0:
+            return
+        models_dir = Path(self.opt["path"]["models"])
+        state = jax.device_get(self.state)
+
+        # EMA (or SF-averaged) weights saved as net_g (reference image.py:932-942)
+        params_main = jax.device_get(self._eval_params())
+        payload = {"params": params_main}
+        if self.ema_decay > 0:
+            payload["params_ema"] = params_main
+            payload["params"] = state.params_g
+        save_pytree(models_dir / f"net_g_{current_iter}.ckpt", payload)
+        if state.params_d is not None:
+            save_pytree(models_dir / f"net_d_{current_iter}.ckpt", {"params": state.params_d})
+
+        train_state = {
+            "epoch": epoch,
+            "iter": current_iter,
+            "step": state.step,
+            "rng": jax.random.key_data(state.rng),
+            "params_g": state.params_g,
+            "opt_g": state.opt_g,
+            "ema_g": state.ema_g,
+            "params_d": state.params_d,
+            "opt_d": state.opt_d,
+        }
+        save_pytree(
+            Path(self.opt["path"]["training_states"]) / f"{current_iter}.state",
+            train_state,
+        )
+
+    def resume_training(self, resume_state: dict[str, Any]) -> None:
+        host_state = jax.device_get(self.state)
+        target = {
+            "epoch": 0,
+            "iter": 0,
+            "step": host_state.step,
+            "rng": jax.random.key_data(host_state.rng),
+            "params_g": host_state.params_g,
+            "opt_g": host_state.opt_g,
+            "ema_g": host_state.ema_g,
+            "params_d": host_state.params_d,
+            "opt_d": host_state.opt_d,
+        }
+        restored = load_pytree(resume_state["path"], target)
+        self.resume_epoch = int(restored["epoch"])
+        self.resume_iter = int(restored["iter"])
+        new_state = host_state.replace(
+            step=jnp.asarray(restored["step"]),
+            rng=jax.random.wrap_key_data(restored["rng"]),
+            params_g=restored["params_g"],
+            opt_g=restored["opt_g"],
+            ema_g=restored["ema_g"],
+            params_d=restored["params_d"],
+            opt_d=restored["opt_d"],
+        )
+        self.state = replicate(new_state, self.mesh)
+
+    def export(self, path: str | Path) -> None:
+        """Safetensors export of the eval weights (ecosystem interop)."""
+        export_safetensors(path, self._eval_params(), {"framework": "neosr_tpu"})

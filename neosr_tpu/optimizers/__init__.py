@@ -1,0 +1,105 @@
+"""Optimizer + scheduler factory.
+
+Replaces the reference's optimizer suite (/root/reference/neosr/optimizers/
+and models/base.py:151-198): registry-dispatched optax transforms.  Stock
+torch Adam/AdamW/NAdam map to their optax equivalents; custom optimizers
+(adan, adan_sf, adamw_sf, adamw_win) are implemented in this package.
+Schedulers (MultiStepLR / CosineAnnealingLR + linear warmup,
+models/base.py:174-254) become optax schedules folded into the lr.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import optax
+
+import neosr_tpu.optimizers.adan  # noqa: F401
+import neosr_tpu.optimizers.adamw_win  # noqa: F401
+import neosr_tpu.optimizers.schedule_free  # noqa: F401
+from neosr_tpu.optimizers.schedule_free import is_schedule_free, sf_eval_params
+from neosr_tpu.utils.registry import OPTIMIZER_REGISTRY
+
+__all__ = [
+    "build_optimizer",
+    "build_scheduler",
+    "is_schedule_free",
+    "sf_eval_params",
+]
+
+
+def build_scheduler(
+    scheduler_opt: dict[str, Any] | None,
+    base_lr: float,
+    total_iter: int,
+    warmup_iter: int = -1,
+) -> float | optax.Schedule:
+    """Build the lr schedule (or return the constant lr)."""
+    if scheduler_opt:
+        sched_type = scheduler_opt.get("type", "").lower()
+        if sched_type in {"multisteplr", "multistep"}:
+            milestones = scheduler_opt.get("milestones", [])
+            gamma = scheduler_opt.get("gamma", 0.5)
+            boundaries = {int(m): gamma for m in milestones}
+            schedule = optax.piecewise_constant_schedule(base_lr, boundaries)
+        elif sched_type in {"cosineannealing", "cosineannealinglr"}:
+            t_max = scheduler_opt.get("T_max", total_iter)
+            eta_min = scheduler_opt.get("eta_min", 0.0)
+            schedule = optax.cosine_decay_schedule(
+                base_lr, t_max, alpha=eta_min / max(base_lr, 1e-30)
+            )
+        else:
+            msg = f"Scheduler {scheduler_opt.get('type')} is not implemented."
+            raise NotImplementedError(msg)
+    else:
+        schedule = None
+
+    if warmup_iter and warmup_iter > 0:
+        warm = optax.linear_schedule(0.0, base_lr, warmup_iter)
+        if schedule is None:
+            return optax.join_schedules([warm, lambda c: base_lr], [warmup_iter])
+        return optax.join_schedules([warm, schedule], [warmup_iter])
+    return schedule if schedule is not None else base_lr
+
+
+def build_optimizer(
+    optim_opt: dict[str, Any],
+    scheduler_opt: dict[str, Any] | None = None,
+    total_iter: int = 1_000_000,
+    warmup_iter: int = -1,
+) -> tuple[optax.GradientTransformation, Any]:
+    """Returns (optax transform, lr-schedule-or-constant)."""
+    opt = dict(optim_opt)
+    optim_type = opt.pop("type")
+    base_lr = opt.pop("lr", 1e-3)
+
+    lower = optim_type.lower()
+    # schedule-free optimizers run without an external scheduler
+    if lower.endswith("_sf") or opt.get("schedule_free"):
+        optimizer = OPTIMIZER_REGISTRY.get(optim_type)(lr=base_lr, **opt)
+        return optimizer, base_lr
+
+    lr = build_scheduler(scheduler_opt, base_lr, total_iter, warmup_iter)
+
+    if lower == "adam":
+        b1, b2 = opt.get("betas", (0.9, 0.999))
+        return optax.adam(lr, b1=b1, b2=b2, eps=opt.get("eps", 1e-8)), lr
+    if lower == "adamw":
+        b1, b2 = opt.get("betas", (0.9, 0.999))
+        return (
+            optax.adamw(
+                lr, b1=b1, b2=b2, eps=opt.get("eps", 1e-8),
+                weight_decay=opt.get("weight_decay", 1e-2),
+            ),
+            lr,
+        )
+    if lower == "nadam":
+        b1, b2 = opt.get("betas", (0.9, 0.999))
+        return optax.nadam(lr, b1=b1, b2=b2, eps=opt.get("eps", 1e-8)), lr
+
+    optimizer = OPTIMIZER_REGISTRY.get(optim_type)(lr=lr, **opt)
+    return optimizer, lr
+
+
+def current_lr(lr: float | optax.Schedule, step: int) -> float:
+    return float(lr(step)) if callable(lr) else float(lr)

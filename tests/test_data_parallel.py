@@ -1,0 +1,68 @@
+"""Data-parallel training over the 8-fake-device CPU mesh.
+
+Validates the mesh-sharded train step: batch sharded on `data`, params
+replicated, gradient all-reduce compiled in by XLA (the TPU-native
+equivalent of the reference's DDP, SURVEY.md §2.9)."""
+
+import jax
+import numpy as np
+
+
+def test_dp_train_step_runs_and_syncs(tiny_paired_dataset, tmp_path):
+    from tests.test_smoke_train import make_opt
+
+    from neosr_tpu.data import EnlargedSampler, build_dataloader, build_dataset
+    from neosr_tpu.models import build_model
+
+    assert jax.device_count() == 8
+
+    opt = make_opt(tiny_paired_dataset, tmp_path)
+    opt["num_gpu"] = 8
+    opt["datasets"]["train"]["batch_size"] = 1  # x8 devices = global 8
+
+    train_set = build_dataset(opt["datasets"]["train"])
+    sampler = EnlargedSampler(len(train_set), 1, 0, 1, 7)
+    loader = build_dataloader(
+        train_set, opt["datasets"]["train"], num_devices=8, sampler=sampler, seed=7
+    )
+    model = build_model(opt)
+    assert model.mesh.devices.size == 8
+
+    it = iter(loader)
+    losses = []
+    for i in range(3):
+        batch = next(it)
+        assert batch["lq"].shape[0] == 8
+        model.feed_data(batch)
+        # input batch is sharded across the data axis
+        assert len(model.lq.sharding.device_set) == 8
+        model.optimize_parameters(i + 1)
+        losses.append(model.get_current_log()["l_g_total"])
+    loader.close()
+    assert np.isfinite(losses).all()
+
+    # params stay replicated (identical) across devices
+    p = model.state.params_g
+    leaf = jax.tree.leaves(p)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_enlarged_sampler_rank_partition():
+    from neosr_tpu.data import EnlargedSampler
+
+    world = 4
+    all_idx = []
+    for rank in range(world):
+        s = EnlargedSampler(10, world, rank, ratio=2, seed=3)
+        s.set_epoch(1)
+        idx = list(iter(s))
+        assert len(idx) == len(s)
+        all_idx.extend(idx)
+    # together the ranks cover the enlarged permutation exactly
+    assert len(all_idx) == int(np.ceil(10 * 2 / world)) * world
+    # deterministic per epoch
+    s2 = EnlargedSampler(10, world, 0, ratio=2, seed=3)
+    s2.set_epoch(1)
+    s3 = EnlargedSampler(10, world, 0, ratio=2, seed=3)
+    s3.set_epoch(1)
+    assert list(iter(s2)) == list(iter(s3))

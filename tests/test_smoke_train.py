@@ -1,0 +1,167 @@
+"""End-to-end training smoke test: compact 4x, L1, AdamW, val, save/resume.
+
+This is the regression anchor for BASELINE.json config #1 ("compact 4x paired
+L1 training, CPU-runnable")."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+def make_opt(data_dirs, tmp_path, extra_train=None, network_g=None):
+    from neosr_tpu.utils.options import opt_from_dict
+
+    opt = {
+        "name": "smoke",
+        "model_type": "image",
+        "scale": 4,
+        "num_gpu": 1,
+        "manual_seed": 7,
+        "datasets": {
+            "train": {
+                "type": "paired",
+                "dataroot_gt": data_dirs["gt"],
+                "dataroot_lq": data_dirs["lq"],
+                "patch_size": 8,
+                "batch_size": 2,
+            },
+            "val": {
+                "name": "valset",
+                "type": "paired",
+                "dataroot_gt": data_dirs["gt"],
+                "dataroot_lq": data_dirs["lq"],
+            },
+        },
+        "val": {
+            "val_freq": 100,
+            "metrics": {
+                "psnr": {"type": "calculate_psnr"},
+                "ssim": {"type": "calculate_ssim"},
+            },
+        },
+        "path": {"experiments_root": str(tmp_path / "experiments")},
+        "network_g": network_g or {"type": "compact", "num_feat": 16, "num_conv": 2},
+        "train": {
+            "ema": 0.999,
+            "optim_g": {"type": "adamw", "lr": 1e-3},
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+            **(extra_train or {}),
+        },
+        "logger": {"total_iter": 10, "save_checkpoint_freq": 5, "print_freq": 1},
+    }
+    return opt_from_dict(opt, root_path=str(tmp_path), is_train=True)
+
+
+def test_train_step_decreases_loss(tiny_paired_dataset, tmp_path):
+    from neosr_tpu.data import EnlargedSampler, build_dataloader, build_dataset
+    from neosr_tpu.models import build_model
+
+    opt = make_opt(tiny_paired_dataset, tmp_path)
+    train_set = build_dataset(opt["datasets"]["train"])
+    sampler = EnlargedSampler(len(train_set), 1, 0, 1, 7)
+    loader = build_dataloader(
+        train_set, opt["datasets"]["train"], num_devices=1, sampler=sampler, seed=7
+    )
+    model = build_model(opt)
+
+    losses = []
+    it = iter(loader)
+    for i in range(8):
+        batch = next(it)
+        assert batch["lq"].shape == (2, 8, 8, 3)
+        assert batch["gt"].shape == (2, 32, 32, 3)
+        model.feed_data(batch)
+        model.optimize_parameters(i + 1)
+        losses.append(model.get_current_log()["l_g_total"])
+    loader.close()
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_validation_and_metrics(tiny_paired_dataset, tmp_path):
+    from neosr_tpu.data import build_dataloader, build_dataset
+    from neosr_tpu.models import build_model
+
+    opt = make_opt(tiny_paired_dataset, tmp_path)
+    model = build_model(opt)
+    val_set = build_dataset(opt["datasets"]["val"])
+    val_loader = build_dataloader(val_set, opt["datasets"]["val"])
+    Path(opt["path"]["visualization"]).mkdir(parents=True, exist_ok=True)
+    model.validation(val_loader, current_iter=1, save_img=False)
+    assert "psnr" in model.metric_results
+    assert 0 < model.metric_results["psnr"] < 60
+    assert 0 <= model.metric_results["ssim"] <= 1
+
+
+def test_save_and_resume(tiny_paired_dataset, tmp_path):
+    import jax
+
+    from neosr_tpu.data import EnlargedSampler, build_dataloader, build_dataset
+    from neosr_tpu.models import build_model
+
+    opt = make_opt(tiny_paired_dataset, tmp_path)
+    Path(opt["path"]["models"]).mkdir(parents=True, exist_ok=True)
+    Path(opt["path"]["training_states"]).mkdir(parents=True, exist_ok=True)
+
+    train_set = build_dataset(opt["datasets"]["train"])
+    sampler = EnlargedSampler(len(train_set), 1, 0, 1, 7)
+    loader = build_dataloader(
+        train_set, opt["datasets"]["train"], num_devices=1, sampler=sampler, seed=7
+    )
+    model = build_model(opt)
+    it = iter(loader)
+    for i in range(3):
+        model.feed_data(next(it))
+        model.optimize_parameters(i + 1)
+    model.save(epoch=0, current_iter=3)
+    loader.close()
+
+    state_file = Path(opt["path"]["training_states"]) / "3.state"
+    assert state_file.exists()
+    assert (Path(opt["path"]["models"]) / "net_g_3.ckpt").exists()
+
+    model2 = build_model(opt)
+    model2.resume_training({"path": str(state_file)})
+    assert model2.resume_iter == 3
+    p1 = jax.device_get(model.state.params_g)
+    p2 = jax.device_get(model2.state.params_g)
+    flat1 = jax.tree.leaves(p1)
+    flat2 = jax.tree.leaves(p2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_schedule_free_optimizer(tiny_paired_dataset, tmp_path):
+    from neosr_tpu.data import EnlargedSampler, build_dataloader, build_dataset
+    from neosr_tpu.models import build_model
+
+    opt = make_opt(
+        tiny_paired_dataset, tmp_path,
+        extra_train={
+            "optim_g": {
+                "type": "adan_sf", "lr": 1e-3,
+                "betas": [0.98, 0.92, 0.99],
+                "weight_decay": 0.02, "warmup_steps": 2,
+            },
+            "ema": -1,
+        },
+    )
+    train_set = build_dataset(opt["datasets"]["train"])
+    sampler = EnlargedSampler(len(train_set), 1, 0, 1, 7)
+    loader = build_dataloader(
+        train_set, opt["datasets"]["train"], num_devices=1, sampler=sampler, seed=7
+    )
+    model = build_model(opt)
+    assert model.sf_g
+    it = iter(loader)
+    losses = []
+    for i in range(6):
+        model.feed_data(next(it))
+        model.optimize_parameters(i + 1)
+        losses.append(model.get_current_log()["l_g_total"])
+    loader.close()
+    assert np.isfinite(losses).all()
+    # eval params come from the schedule-free average
+    ev = model._eval_params()
+    assert ev is not None
