@@ -1,0 +1,148 @@
+"""Discriminators: Real-ESRGAN U-Net and pix2pixHD PatchGAN (spectral norm).
+
+Capability parity with /root/reference/neosr/archs/unet_arch.py:9-67 and
+patchgan_arch.py:34-146.  Spectral normalization is stateless here: a few
+power iterations on the reshaped kernel each forward (deterministic start
+vector), which keeps the train step a pure function — no persistent `u`
+buffer to shuttle through the state like torch's hook-based SN.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from neosr_tpu.archs.arch_util import to_2tuple
+from neosr_tpu.utils.registry import ARCH_REGISTRY
+
+
+def spectral_normalize(kernel: jnp.ndarray, n_iter: int = 3, eps: float = 1e-12) -> jnp.ndarray:
+    """Divide an HWIO conv kernel by its spectral norm (power iteration)."""
+    kh, kw, cin, cout = kernel.shape
+    w = kernel.reshape(-1, cout).astype(jnp.float32)  # (kh*kw*cin, cout)
+    u = jnp.ones((cout,), jnp.float32) / jnp.sqrt(cout)
+
+    def body(_, u):
+        v = w @ u
+        v = v / (jnp.linalg.norm(v) + eps)
+        u = w.T @ v
+        u = u / (jnp.linalg.norm(u) + eps)
+        return u
+
+    u = jax.lax.fori_loop(0, n_iter, body, u)
+    v = w @ u
+    sigma = jnp.linalg.norm(v)
+    return (kernel / jnp.maximum(sigma, eps)).astype(kernel.dtype)
+
+
+class SNConv(nn.Module):
+    """Conv2d with stateless spectral normalization."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    padding: int = 1
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ks = to_2tuple(self.kernel_size)
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (*ks, cin, self.features),
+            jnp.float32,
+        )
+        kernel = spectral_normalize(kernel)
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            to_2tuple(self.strides),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(), (self.features,), jnp.float32)
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+def _lrelu(x):
+    return jax.nn.leaky_relu(x, negative_slope=0.2)
+
+
+def _bilinear_up2(x: jnp.ndarray) -> jnp.ndarray:
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, h * 2, w * 2, c), method="bilinear")
+
+
+@ARCH_REGISTRY.register()
+class unet(nn.Module):
+    """U-Net discriminator with SN (Real-ESRGAN); outputs a 1-ch logit map."""
+
+    num_in_ch: int = 3
+    num_feat: int = 64
+    skip_connection: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        nf = self.num_feat
+        x0 = _lrelu(nn.Conv(nf, (3, 3), padding=1, dtype=self.dtype, param_dtype=jnp.float32)(x))
+        x1 = _lrelu(SNConv(nf * 2, 4, 2, 1, use_bias=False, dtype=self.dtype)(x0))
+        x2 = _lrelu(SNConv(nf * 4, 4, 2, 1, use_bias=False, dtype=self.dtype)(x1))
+        x3 = _lrelu(SNConv(nf * 8, 4, 2, 1, use_bias=False, dtype=self.dtype)(x2))
+
+        x3 = _bilinear_up2(x3)
+        x4 = _lrelu(SNConv(nf * 4, 3, 1, 1, use_bias=False, dtype=self.dtype)(x3))
+        if self.skip_connection:
+            x4 = x4 + x2
+        x4 = _bilinear_up2(x4)
+        x5 = _lrelu(SNConv(nf * 2, 3, 1, 1, use_bias=False, dtype=self.dtype)(x4))
+        if self.skip_connection:
+            x5 = x5 + x1
+        x5 = _bilinear_up2(x5)
+        x6 = _lrelu(SNConv(nf, 3, 1, 1, use_bias=False, dtype=self.dtype)(x5))
+        if self.skip_connection:
+            x6 = x6 + x0
+
+        out = _lrelu(SNConv(nf, 3, 1, 1, use_bias=False, dtype=self.dtype)(x6))
+        out = _lrelu(SNConv(nf, 3, 1, 1, use_bias=False, dtype=self.dtype)(out))
+        return nn.Conv(1, (3, 3), padding=1, dtype=self.dtype, param_dtype=jnp.float32)(out)
+
+
+@ARCH_REGISTRY.register()
+class patchgan(nn.Module):
+    """pix2pixHD PatchGAN discriminator with SN."""
+
+    num_in_ch: int = 3
+    num_feat: int = 64
+    num_layers: int = 3
+    max_nf_mult: int = 8
+    use_sigmoid: bool = False
+    use_sn: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        def conv(features, stride, cur):
+            if self.use_sn:
+                return SNConv(features, 4, stride, 1, dtype=self.dtype)(cur)
+            return nn.Conv(
+                features, (4, 4), (stride, stride), padding=1,
+                dtype=self.dtype, param_dtype=jnp.float32,
+            )(cur)
+
+        h = _lrelu(conv(self.num_feat, 2, x))
+        nf_mult = 1
+        for n in range(1, self.num_layers):
+            nf_mult = min(2**n, self.max_nf_mult)
+            h = _lrelu(conv(self.num_feat * nf_mult, 2, h))
+        nf_mult = min(2**self.num_layers, self.max_nf_mult)
+        h = _lrelu(conv(self.num_feat * nf_mult, 1, h))
+        h = conv(1, 1, h)
+        if self.use_sigmoid:
+            h = jax.nn.sigmoid(h)
+        return h

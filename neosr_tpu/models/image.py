@@ -183,6 +183,9 @@ class image(base):
         self.optim_d, self.lr_d = None, None
         opt_d_state = None
         if self.params_d is not None:
+            if "optim_d" not in train_opt:
+                msg = f"{tc.red}[network_d] configured but [train.optim_d] missing.{tc.end}"
+                raise ValueError(msg)
             self.optim_d, self.lr_d = self._make_optim(
                 train_opt["optim_d"], train_opt.get("scheduler"), total_iter, warmup
             )
