@@ -61,7 +61,8 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     host this distributes the global batch across local devices.
     """
     def _place(x):
-        x = np.asarray(x)
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x)
         if x.ndim >= 1:
             spec = P("data", *([None] * (x.ndim - 1)))
         else:
