@@ -91,6 +91,125 @@ def bench_compact_train(
     }
 
 
+def bench_otf_degrade(
+    batch: int = 8, gt_size: int = 512, scale: int = 4,
+    warmup: int = 3, iters: int = 20,
+) -> dict:
+    """OTF degradation throughput in megapixels/s (GT pixels processed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neosr_tpu.data.degradations import pulse_tensor
+    from neosr_tpu.data.otf_device import make_degradation_fn
+
+    cfg = {
+        "resize_prob": [0.3, 0.4, 0.3], "resize_range": [0.5, 1.5],
+        "gaussian_noise_prob": 0.5, "noise_range": [1, 15],
+        "poisson_scale_range": [0.05, 0.5], "gray_noise_prob": 0.3,
+        "jpeg_range": [40, 95], "second_blur_prob": 0.5,
+        "resize_prob2": [0.3, 0.4, 0.3], "resize_range2": [0.3, 1.5],
+        "gaussian_noise_prob2": 0.5, "noise_range2": [1, 10],
+        "poisson_scale_range2": [0.05, 0.25], "gray_noise_prob2": 0.3,
+        "jpeg_range2": [40, 95],
+    }
+    fn = make_degradation_fn(cfg, scale, gt_size, 48)
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.random((batch, gt_size, gt_size, 3)).astype(np.float32))
+    k = jnp.asarray(rng.random((batch, 21, 21)).astype(np.float32))
+    k = k / k.sum(axis=(1, 2), keepdims=True)
+    sk = jnp.asarray(np.stack([pulse_tensor(21)] * batch))
+
+    keys = [jax.random.key(i) for i in range(warmup + iters)]
+    for i in range(warmup):
+        out = fn(gt, k, k, sk, keys[i])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(gt, k, k, sk, keys[warmup + i])
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    mpx = batch * gt_size * gt_size * iters / dt / 1e6
+    return {
+        "metric": "otf_degrade_Mpx_per_s",
+        "value": round(mpx, 2),
+        "unit": "Mpx/s",
+        "vs_baseline": None,
+        "detail": {"batch": batch, "gt_size": gt_size, "iters": iters, "wall_s": round(dt, 3)},
+    }
+
+
+def bench_esrgan_otf_train(
+    batch_per_chip: int = 8, patch: int = 48, scale: int = 4,
+    warmup: int = 2, iters: int = 10,
+) -> dict:
+    """esrgan 4x train step throughput (net only; OTF measured separately)."""
+    import jax
+
+    from neosr_tpu.data.loader import collate
+    from neosr_tpu.models import build_model
+    from neosr_tpu.utils.options import opt_from_dict
+
+    n_chips = jax.device_count()
+    global_batch = batch_per_chip * n_chips
+    opt = {
+        "name": "bench_esrgan", "model_type": "image", "scale": scale,
+        "num_gpu": n_chips, "manual_seed": 0, "use_amp": True, "bfloat16": True,
+        "datasets": {"train": {"type": "paired", "phase": "train",
+                               "patch_size": patch, "batch_size": batch_per_chip}},
+        "network_g": {"type": "esrgan"},
+        "path": {},
+        "train": {
+            "ema": 0.999,
+            "optim_g": {"type": "adan_sf", "lr": 8e-4,
+                        "betas": [0.98, 0.92, 0.987], "weight_decay": 0.02,
+                        "warmup_steps": 16},
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+        },
+        "logger": {"total_iter": 1000},
+    }
+    opt = opt_from_dict(opt, root_path=".", is_train=True)
+    opt["num_gpu"] = n_chips
+    model = build_model(opt)
+    rng = np.random.default_rng(0)
+    batch = collate([
+        {"lq": rng.random((patch, patch, 3)).astype(np.float32),
+         "gt": rng.random((patch * scale, patch * scale, 3)).astype(np.float32)}
+        for _ in range(global_batch)
+    ])
+    model.feed_data(batch)
+    for i in range(warmup):
+        model.optimize_parameters(i + 1)
+    jax.block_until_ready(model.state.params_g)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        model.optimize_parameters(warmup + i + 1)
+    jax.block_until_ready(model.state.params_g)
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "esrgan_4x_train_patches_per_sec_per_chip",
+        "value": round(global_batch * iters / dt / n_chips, 2),
+        "unit": "patches/s/chip",
+        "vs_baseline": None,
+        "detail": {"n_chips": n_chips, "global_batch": global_batch,
+                   "patch": patch, "iters": iters, "wall_s": round(dt, 3)},
+    }
+
+
 if __name__ == "__main__":
-    result = bench_compact_train()
-    print(json.dumps(result))
+    import sys
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "compact"
+    if which == "all":
+        results = [bench_compact_train(), bench_otf_degrade(), bench_esrgan_otf_train()]
+        compact = results[0]
+        compact["detail"]["otf_degrade_Mpx_per_s"] = results[1]["value"]
+        compact["detail"]["esrgan_patches_per_sec_per_chip"] = results[2]["value"]
+        print(json.dumps(compact))
+        for r in results[1:]:
+            print(json.dumps(r), file=sys.stderr)
+    elif which == "otf":
+        print(json.dumps(bench_otf_degrade()))
+    elif which == "esrgan":
+        print(json.dumps(bench_esrgan_otf_train()))
+    else:
+        print(json.dumps(bench_compact_train()))

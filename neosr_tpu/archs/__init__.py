@@ -49,10 +49,9 @@ def build_network(opt: dict[str, Any], scale: int | None = None, dtype: Any = No
 
     fields = getattr(cls_or_fn, "__dataclass_fields__", {})
     if scale is not None:
-        if "upscale" in fields and "upscale" not in opt:
-            opt["upscale"] = scale
-        if "scale" in fields and "scale" not in opt:
-            opt["scale"] = scale
+        for field in ("upscale", "scale", "upscaling_factor"):
+            if field in fields and field not in opt:
+                opt[field] = scale
     if dtype is not None and "dtype" in fields and "dtype" not in opt:
         opt["dtype"] = dtype
     # factory functions (presets) accept the same treatment via kwargs
