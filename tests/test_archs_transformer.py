@@ -1,0 +1,54 @@
+"""Transformer arch zoo shape tests (tiny configs, jitted)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+TRANSFORMER_ARCHS = [
+    ("swinir", {"embed_dim": 24, "depths": [2, 2], "num_heads": [2, 2],
+                "window_size": 8, "upsampler": "pixelshuffle"}, 4),
+    ("swinir", {"embed_dim": 24, "depths": [2], "num_heads": [2],
+                "window_size": 8, "upsampler": "pixelshuffledirect"}, 4),
+    ("swinir", {"embed_dim": 24, "depths": [2], "num_heads": [2],
+                "window_size": 8, "upsampler": "nearest+conv"}, 4),
+    ("swinir", {"embed_dim": 24, "depths": [2], "num_heads": [2],
+                "window_size": 8, "resi_connection": "3conv"}, 4),
+    ("hat", {"embed_dim": 24, "depths": [2], "num_heads": [2],
+             "window_size": 8, "squeeze_factor": 4, "mlp_ratio": 2.0}, 4),
+    ("drct", {"embed_dim": 24, "depths": [1], "num_heads": [2],
+              "window_size": 8, "gc": 8}, 4),
+]
+
+
+@pytest.mark.parametrize("name,opts,scale", TRANSFORMER_ARCHS)
+def test_transformer_forward(name, opts, scale):
+    from neosr_tpu.archs import build_network
+
+    net = build_network({"type": name, **opts}, scale=scale)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 16, 16, 3)), jnp.float32)
+    params = jax.jit(net.init)(jax.random.key(0), x)
+    y = jax.jit(lambda p, v: net.apply(p, v))(params, x)
+    assert y.shape == (1, 16 * scale, 16 * scale, 3), f"{name}: {y.shape}"
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_shifted_window_mask_matches_swin_convention():
+    from neosr_tpu.archs.swin_util import shift_attn_mask
+
+    mask = shift_attn_mask(16, 16, 8, 4)
+    assert mask.shape == (4, 64, 64)
+    # the first (non-boundary) window must be unmasked
+    assert (mask[0] == 0).all()
+    # boundary windows must mask cross-region pairs
+    assert (mask[-1] < 0).any()
+
+
+def test_window_partition_roundtrip():
+    from neosr_tpu.archs.swin_util import window_partition, window_reverse
+
+    x = jnp.asarray(np.random.default_rng(0).random((2, 16, 24, 5)), jnp.float32)
+    w = window_partition(x, 8)
+    assert w.shape == (2 * 2 * 3, 64, 5)
+    back = window_reverse(w, 8, 16, 24)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
