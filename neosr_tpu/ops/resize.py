@@ -148,6 +148,27 @@ def canvas_resize_to(
     return apply_matrices(x, wh, ww)
 
 
+def aa_matrix(in_size: int, out_size: int, method: str = "bicubic") -> jnp.ndarray:
+    """Static ANTIALIASED resize matrix (torch antialias=True semantics)."""
+    kernel = _k_cubic if method == "bicubic" else _k_linear
+    scale = in_size / out_size
+    fs = max(scale, 1.0)
+    j = jax.lax.broadcasted_iota(jnp.float32, (out_size, in_size), 0)
+    i = jax.lax.broadcasted_iota(jnp.float32, (out_size, in_size), 1)
+    center = (j + 0.5) * scale - 0.5
+    w = kernel((i - center) / fs)
+    return w / jnp.sum(w, axis=1, keepdims=True)
+
+
+def resize_antialias(
+    x: jnp.ndarray, out_h: int, out_w: int, method: str = "bicubic"
+) -> jnp.ndarray:
+    """Antialiased static resize (torch F.interpolate(antialias=True))."""
+    wh = aa_matrix(x.shape[1], out_h, method)
+    ww = aa_matrix(x.shape[2], out_w, method)
+    return apply_matrices(x, wh, ww)
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w", "method"))
 def resize(x: jnp.ndarray, out_h: int, out_w: int, method: str = "bicubic") -> jnp.ndarray:
     """Plain static resize of an NHWC batch (torch F.interpolate parity)."""
