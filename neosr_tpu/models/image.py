@@ -134,6 +134,8 @@ class image(base):
             cfg = train_opt.get(key)
             if cfg:
                 name = key.replace("_opt", "")
+                if key in _PERCEPTUAL_KEYS:
+                    cfg = {**cfg, "scale": cfg.get("scale", self.scale)}
                 try:
                     self.g_losses[f"l_g_{name}"] = build_loss(cfg)
                 except KeyError:
@@ -179,6 +181,8 @@ class image(base):
         self.match_lq_colors = train_opt.get("match_lq_colors", False)
         self.sam = train_opt.get("sam")
         self.sam_init = train_opt.get("sam_init", -1)
+        self.wavelet_guided = train_opt.get("wavelet_guided", False)
+        self.wavelet_init = train_opt.get("wavelet_init", 80000)
         if self.sam is not None and self.sam not in ("fsam",):
             msg = f"{tc.red}Unknown sam type {self.sam} (supported: fsam).{tc.end}"
             raise ValueError(msg)
@@ -307,10 +311,25 @@ class image(base):
             losses["l_g_total"] = total
             return total, (losses, out)
 
-        def d_loss_fn(params_d, out, gt):
-            real_pred = net_d.apply({"params": params_d}, gt)
+        wavelet = self.wavelet_guided
+        wavelet_init = self.wavelet_init
+
+        def d_loss_fn(params_d, out, gt, step):
+            out = jax.lax.stop_gradient(out)
+            if wavelet:
+                # D sees high-frequency wavelet bands once past wavelet_init
+                # (reference image.py:556-574)
+                from neosr_tpu.losses.wavelet_guided import wavelet_guided as wg
+
+                hf_sr, hf_gt = wg(out, gt)
+                use = step >= wavelet_init
+                fake_in = jnp.where(use, hf_sr, out)
+                real_in = jnp.where(use, hf_gt, gt)
+            else:
+                fake_in, real_in = out, gt
+            real_pred = net_d.apply({"params": params_d}, real_in)
             l_d_real = cri_gan(real_pred, True, is_disc=True).astype(jnp.float32)
-            fake_pred = net_d.apply({"params": params_d}, jax.lax.stop_gradient(out))
+            fake_pred = net_d.apply({"params": params_d}, fake_in)
             l_d_fake = cri_gan(fake_pred, False, is_disc=True).astype(jnp.float32)
             total = l_d_real + l_d_fake
             return total, {"l_d_real": l_d_real, "l_d_fake": l_d_fake}
@@ -380,7 +399,7 @@ class image(base):
             if net_d is not None:
                 (loss_d, d_losses), grads_d = jax.value_and_grad(
                     d_loss_fn, has_aux=True
-                )(state.params_d, out, gt)
+                )(state.params_d, out, gt, step)
                 losses.update(d_losses)
                 finite_d = jnp.isfinite(loss_d)
                 updates_d, opt_d = optim_d.update(grads_d, state.opt_d, state.params_d)
