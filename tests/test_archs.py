@@ -27,6 +27,11 @@ CONV_ARCHS = [
     ("mosr", {"dim": 16, "n_block": 1, "upsampler": "dys"}, 4),
     ("safmn", {"dim": 16, "n_blocks": 1}, 4),
     ("light_safmnpp", {"dim": 16, "n_blocks": 1}, 4),
+    ("spanplus", {"feature_channels": 16, "blocks": [1]}, 4),
+    ("spanplus_sts", {}, 4),
+    ("cugan", {}, 2),
+    ("cugan", {}, 4),
+    ("eimn", {"embed_dims": 16, "num_stages": 2}, 4),
 ]
 
 
