@@ -32,6 +32,9 @@ CONV_ARCHS = [
     ("cugan", {}, 2),
     ("cugan", {}, 4),
     ("eimn", {"embed_dims": 16, "num_stages": 2}, 4),
+    ("ditn", {"dim": 16, "ITL_blocks": 1, "SAL_blocks": 1}, 4),
+    ("dctlsa", {"nf": 20, "num_modules": 2, "num_head": 4}, 4),
+    ("msdan", {"channels": 16, "num_DFEB": 1}, 4),
 ]
 
 
