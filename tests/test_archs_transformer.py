@@ -20,8 +20,6 @@ TRANSFORMER_ARCHS = [
               "window_size": 8, "gc": 8}, 4),
     ("atd", {"embed_dim": 24, "depths": [2], "num_heads": [2], "window_size": 8,
              "category_size": 32, "num_tokens": 16, "reducted_dim": 4}, 4),
-    ("atd_light", {"embed_dim": 16, "depths": [2], "num_heads": [2],
-                   "category_size": 16, "num_tokens": 8, "reducted_dim": 4}, 4),
     ("dat", {"embed_dim": 24, "depth": [4], "num_heads": [2],
              "split_size": [4, 8], "expansion_factor": 2.0}, 4),
 ]
