@@ -22,6 +22,9 @@ TRANSFORMER_ARCHS = [
              "category_size": 32, "num_tokens": 16, "reducted_dim": 4}, 4),
     ("dat", {"embed_dim": 24, "depth": [4], "num_heads": [2],
              "split_size": [4, 8], "expansion_factor": 2.0}, 4),
+    ("srformer", {"embed_dim": 24, "depths": [2], "num_heads": [2],
+                  "window_size": 8}, 4),
+    ("omnisr", {"num_feat": 16, "window_size": 8}, 4),
 ]
 
 
