@@ -25,6 +25,10 @@ TRANSFORMER_ARCHS = [
     ("srformer", {"embed_dim": 24, "depths": [2], "num_heads": [2],
                   "window_size": 8}, 4),
     ("omnisr", {"num_feat": 16, "window_size": 8}, 4),
+    ("grformer", {"embed_dim": 24, "depths": [4], "num_heads": [2],
+                  "window_size": [4, 8]}, 4),
+    ("rgt", {"embed_dim": 24, "depth": [4], "num_heads": [2],
+             "split_size": [4, 8]}, 4),
 ]
 
 
