@@ -29,6 +29,12 @@ TRANSFORMER_ARCHS = [
                   "window_size": [4, 8]}, 4),
     ("rgt", {"embed_dim": 24, "depth": [4], "num_heads": [2],
              "split_size": [4, 8]}, 4),
+    ("hit_srf", {"embed_dim": 20, "depths": [3], "num_heads": [2],
+                 "base_win_size": [4, 4], "hier_win_ratios": [0.5, 1, 2]}, 4),
+    ("hma", {"embed_dim": 24, "depths": [2], "num_heads": [2],
+             "window_size": 8, "interval_size": 4}, 4),
+    ("craft", {"embed_dim": 24, "depths": [1], "num_heads": [2],
+               "split_size_0": 4, "split_size_1": 8}, 4),
 ]
 
 
