@@ -51,18 +51,33 @@ def _gaussian_noise(key, shape_bhwc, sigma_range, gray_prob):
     )
     gray = (jax.random.uniform(k2, (b, 1, 1, 1)) < gray_prob).astype(jnp.float32)
     noise = jax.random.normal(k3, (b, h, w, c)) * sigma / 255.0
-    noise_gray = noise[..., :1]
+    # gray noise = first channel broadcast (keep (b,h,w,c) layouts — a
+    # trailing dim of 1 wastes 127/128 TPU lanes)
+    noise_gray = jnp.broadcast_to(noise[..., :1], noise.shape)
     return noise * (1 - gray) + noise_gray * gray
 
 
 def _count_vals(img: jnp.ndarray) -> jnp.ndarray:
-    """2^ceil(log2(#unique 8-bit levels)) per sample (B,)"""
+    """2^ceil(log2(#unique 8-bit levels)) per sample (B,).
+
+    Scatter-free: each pixel sets one bit of a 256-bit presence mask (8
+    uint32 words) and the OR-reduction + popcount run on the VPU — the naive
+    256-bin scatter histogram serializes on TPU (~140 ms/step measured)."""
     b = img.shape[0]
     q = jnp.clip(jnp.round(img * 255.0), 0, 255).astype(jnp.int32)
     flat = q.reshape(b, -1)
-    present = jnp.zeros((b, 256), jnp.float32)
-    present = jax.vmap(lambda p, f: p.at[f].max(1.0))(present, flat)
-    uniq = jnp.sum(present, axis=1)
+    word_idx = flat >> 5  # value's word in [0, 8)
+    bit = jnp.left_shift(
+        jnp.uint32(1), (flat & 31).astype(jnp.uint32)
+    )
+    words = []
+    for w in range(8):
+        masked = jnp.where(word_idx == w, bit, jnp.uint32(0))
+        words.append(
+            jax.lax.reduce(masked, jnp.uint32(0), jax.lax.bitwise_or, (1,))
+        )
+    words = jnp.stack(words, axis=1)  # (b, 8)
+    uniq = jax.lax.population_count(words).sum(axis=1).astype(jnp.float32)
     return 2.0 ** jnp.ceil(jnp.log2(jnp.maximum(uniq, 1.0)))
 
 
@@ -79,11 +94,13 @@ def _poisson_noise(key, img, scale_range, gray_prob):
     out = jax.random.poisson(k3, imgq * vals).astype(jnp.float32) / vals
     noise = out - imgq
 
+    # gray path stays (b,h,w): a trailing channel dim of 1 maps to a single
+    # TPU lane and ran ~200x slower (measured 75 ms vs 0.4 ms)
     img_gray = jnp.clip(jnp.round((img @ _GRAY_W) * 255.0), 0, 255) / 255.0
-    img_gray = img_gray[..., None]
-    vals_g = _count_vals(img_gray)[:, None, None, None]
+    vals_g = _count_vals(img_gray[..., None])[:, None, None]
     out_g = jax.random.poisson(k4, img_gray * vals_g).astype(jnp.float32) / vals_g
-    noise_gray = out_g - img_gray
+    noise_gray = (out_g - img_gray)[..., None]
+    noise_gray = jnp.broadcast_to(noise_gray, noise.shape)
 
     return (noise * (1 - gray) + noise_gray * gray) * scale
 
