@@ -22,7 +22,10 @@ class base:
         num_devices = opt.get("num_gpu")
         if num_devices in (None, "auto", 0):
             num_devices = None
-        self.mesh = make_mesh(num_devices=num_devices)
+        self.mesh = make_mesh(
+            num_devices=num_devices,
+            space_axis=opt.get("spatial_parallel", 1),
+        )
         self.log_dict: dict[str, Any] = OrderedDict()
         self.best_metric_results: dict[str, Any] = {}
 

@@ -60,10 +60,17 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     Per-host data loading feeds each process only its shard; on a single
     host this distributes the global batch across local devices.
     """
+    spatial = mesh.shape.get("space", 1) > 1
+
     def _place(x):
         if not isinstance(x, jax.Array):
             x = np.asarray(x)
-        if x.ndim >= 1:
+        if x.ndim == 4 and spatial:
+            # NHWC: batch over `data`, image height over `space` — the
+            # spatial-parallel (context-parallel analog) layout; GSPMD
+            # inserts halo exchanges for convs/windows over ICI
+            spec = P("data", "space", None, None)
+        elif x.ndim >= 1:
             spec = P("data", *([None] * (x.ndim - 1)))
         else:
             spec = P()

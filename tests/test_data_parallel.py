@@ -66,3 +66,32 @@ def test_enlarged_sampler_rank_partition():
     s3 = EnlargedSampler(10, world, 0, ratio=2, seed=3)
     s3.set_epoch(1)
     assert list(iter(s2)) == list(iter(s3))
+
+
+def test_dp_sp_mesh_train_step(tiny_paired_dataset, tmp_path):
+    """dp x sp: batch over `data`, image height over `space` (GSPMD halo
+    exchange for the convs)."""
+    from tests.test_smoke_train import make_opt
+
+    from neosr_tpu.data import EnlargedSampler, build_dataloader, build_dataset
+    from neosr_tpu.models import build_model
+
+    opt = make_opt(tiny_paired_dataset, tmp_path)
+    opt["num_gpu"] = 8
+    opt["spatial_parallel"] = 2
+    opt["datasets"]["train"]["batch_size"] = 1  # x8 -> global 8, 4-way data
+
+    train_set = build_dataset(opt["datasets"]["train"])
+    sampler = EnlargedSampler(len(train_set), 1, 0, 1, 7)
+    loader = build_dataloader(
+        train_set, opt["datasets"]["train"], num_devices=8, sampler=sampler, seed=7
+    )
+    model = build_model(opt)
+    assert model.mesh.shape == {"data": 4, "space": 2}
+    it = iter(loader)
+    for i in range(2):
+        model.feed_data(next(it))
+        model.optimize_parameters(i + 1)
+    logs = model.get_current_log()
+    loader.close()
+    assert np.isfinite(logs["l_g_total"])
