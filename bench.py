@@ -16,7 +16,7 @@ import numpy as np
 
 
 def bench_compact_train(
-    batch_per_chip: int = 16, patch: int = 48, scale: int = 4,
+    batch_per_chip: int = 64, patch: int = 48, scale: int = 4,
     warmup: int = 3, iters: int = 20,
 ) -> dict:
     import jax
@@ -92,7 +92,7 @@ def bench_compact_train(
 
 
 def bench_otf_degrade(
-    batch: int = 8, gt_size: int = 512, scale: int = 4,
+    batch: int = 16, gt_size: int = 512, scale: int = 4,
     warmup: int = 3, iters: int = 20,
 ) -> dict:
     """OTF degradation throughput in megapixels/s (GT pixels processed)."""
@@ -139,7 +139,7 @@ def bench_otf_degrade(
 
 
 def bench_esrgan_otf_train(
-    batch_per_chip: int = 8, patch: int = 48, scale: int = 4,
+    batch_per_chip: int = 16, patch: int = 48, scale: int = 4,
     warmup: int = 2, iters: int = 10,
 ) -> dict:
     """esrgan 4x train step throughput (net only; OTF measured separately)."""

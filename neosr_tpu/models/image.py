@@ -542,6 +542,15 @@ class image(base):
             sr_img_rgb = tensor2img(jax.device_get(self.output), rgb2bgr=False)
             n_imgs += 1
 
+            if (
+                tb_logger is not None
+                and self.opt.get("logger", {}).get("save_tb_img", False)
+            ):
+                tb_logger.add_image(
+                    f"{dataset_name}/{img_name}",
+                    sr_img_rgb, global_step=current_iter, dataformats="HWC",
+                )
+
             if save_img:
                 if self.opt["is_train"]:
                     save_path = (

@@ -125,6 +125,10 @@ def train_pipeline(root_path: str) -> None:
 
     train_timer, data_timer = AvgTimer(), AvgTimer()
     print_freq = opt["logger"].get("print_freq", 100)
+    # jax.profiler trace capture (SURVEY.md §5 tracing): profile_start/stop
+    # iters write a TensorBoard-viewable trace under the experiment dir
+    profile_start = opt["logger"].get("profile_start", 0)
+    profile_stop = opt["logger"].get("profile_stop", 0)
     save_freq = opt["logger"].get("save_checkpoint_freq", 1000)
     val_freq = opt.get("val", {}).get("val_freq") if opt.get("val") else None
 
@@ -139,8 +143,16 @@ def train_pipeline(root_path: str) -> None:
             if current_iter % max(len(train_loader), 1) == 0:
                 epoch += 1
 
+            if profile_stop and current_iter == profile_start:
+                jax.profiler.start_trace(
+                    str(Path(opt["path"]["experiments_root"]) / "profile")
+                )
             model.feed_data(train_data)
             model.optimize_parameters(current_iter)
+            if profile_stop and current_iter == profile_stop:
+                jax.block_until_ready(model.state.params_g)
+                jax.profiler.stop_trace()
+                logger.info(f"{tc.light_blue}Profiler trace written to experiments dir.{tc.end}")
             train_timer.record()
             if current_iter == 1:
                 msg_logger.reset_start_time()
