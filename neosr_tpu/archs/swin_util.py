@@ -121,9 +121,24 @@ def window_attention(
 
     q,k,v: (B_, heads, N, d); bias: (heads, N, N); mask: (nW, N, N) applied
     cyclically over the window dim.  Returns (B_, heads, N, d).
+
+    Set NEOSR_PALLAS_ATTN=1 to route through the fused Pallas kernel
+    (ops/pallas/window_attn.py).  Measured on v5e it currently loses to
+    XLA's batched einsum at SR window sizes (12.1 vs 1.6 ms for
+    swinir-medium shapes — per-window grid overhead dominates), so the
+    einsum stays the default; the kernel is the base for a multi-window
+    tiled version.
     """
+    import os
+
     d = q.shape[-1]
     scale = scale if scale is not None else d**-0.5
+
+    if os.environ.get("NEOSR_PALLAS_ATTN") == "1" and bias is not None:
+        from neosr_tpu.ops.pallas.window_attn import window_attention_fused
+
+        nw = mask.shape[0] if mask is not None else 1
+        return window_attention_fused(q * scale, k, v, bias, mask, nw)
     attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
                       preferred_element_type=jnp.float32)
     if bias is not None:
