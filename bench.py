@@ -195,6 +195,90 @@ def bench_esrgan_otf_train(
     }
 
 
+def bench_esrgan_otf_full(
+    batch: int = 8, gt_size: int = 256, scale: int = 4,
+    warmup: int = 2, iters: int = 10,
+) -> dict:
+    """The BASELINE north-star: esrgan training WITH on-the-fly degradations
+    and U-Net GAN, full feed_data + train step per iteration."""
+    import jax
+
+    from neosr_tpu.data.loader import collate
+    from neosr_tpu.data.degradations import pulse_tensor
+    from neosr_tpu.models import build_model
+    from neosr_tpu.utils.options import opt_from_dict
+
+    n_chips = jax.device_count()
+    patch = 48
+    opt = {
+        "name": "bench_esrgan_otf", "model_type": "otf", "scale": scale,
+        "num_gpu": n_chips, "manual_seed": 0, "use_amp": True, "bfloat16": True,
+        "datasets": {"train": {
+            "type": "otf", "phase": "train", "patch_size": patch,
+            "batch_size": batch, "gt_size": gt_size, "queue_size": batch * 4,
+            "resize_prob": [0.3, 0.4, 0.3], "resize_range": [0.5, 1.5],
+            "gaussian_noise_prob": 0.5, "noise_range": [1, 15],
+            "poisson_scale_range": [0.05, 0.5], "gray_noise_prob": 0.3,
+            "jpeg_range": [40, 95], "second_blur_prob": 0.5,
+            "resize_prob2": [0.3, 0.4, 0.3], "resize_range2": [0.3, 1.5],
+            "gaussian_noise_prob2": 0.5, "noise_range2": [1, 10],
+            "poisson_scale_range2": [0.05, 0.25], "gray_noise_prob2": 0.3,
+            "jpeg_range2": [40, 95],
+        }},
+        "network_g": {"type": "esrgan"},
+        "network_d": {"type": "unet"},
+        "path": {},
+        "train": {
+            "ema": 0.999,
+            "optim_g": {"type": "adan_sf", "lr": 8e-4,
+                        "betas": [0.98, 0.92, 0.987], "weight_decay": 0.02,
+                        "warmup_steps": 16},
+            "optim_d": {"type": "adan_sf", "lr": 5e-4,
+                        "betas": [0.98, 0.92, 0.99], "weight_decay": 0.02},
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+            "gan_opt": {"type": "gan_loss", "gan_type": "bce", "loss_weight": 0.3},
+        },
+        "logger": {"total_iter": 1000},
+    }
+    opt = opt_from_dict(opt, root_path=".", is_train=True)
+    opt["num_gpu"] = n_chips
+    model = build_model(opt)
+
+    rng = np.random.default_rng(0)
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        return collate([
+            {
+                "gt": r.random((gt_size, gt_size, 3)).astype(np.float32),
+                "kernel1": (lambda k: (k / k.sum()).astype(np.float32))(r.random((21, 21))),
+                "kernel2": (lambda k: (k / k.sum()).astype(np.float32))(r.random((21, 21))),
+                "sinc_kernel": pulse_tensor(21),
+            }
+            for _ in range(batch)
+        ])
+
+    for i in range(warmup):
+        model.feed_data(make_batch(i))
+        model.optimize_parameters(i + 1)
+    jax.block_until_ready(model.state.params_g)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        model.feed_data(make_batch(100 + i))
+        model.optimize_parameters(warmup + i + 1)
+    jax.block_until_ready(model.state.params_g)
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "esrgan_otf_full_patches_per_sec_per_chip",
+        "value": round(batch * iters / dt / n_chips, 2),
+        "unit": "patches/s/chip",
+        "vs_baseline": None,
+        "detail": {"n_chips": n_chips, "batch": batch, "gt_size": gt_size,
+                   "patch": patch, "iters": iters, "wall_s": round(dt, 3)},
+    }
+
+
 if __name__ == "__main__":
     import sys
 
@@ -211,5 +295,7 @@ if __name__ == "__main__":
         print(json.dumps(bench_otf_degrade()))
     elif which == "esrgan":
         print(json.dumps(bench_esrgan_otf_train()))
+    elif which == "esrgan_otf_full":
+        print(json.dumps(bench_esrgan_otf_full()))
     else:
         print(json.dumps(bench_compact_train()))

@@ -124,10 +124,11 @@ def window_attention(
 
     Set NEOSR_PALLAS_ATTN=1 to route through the fused Pallas kernel
     (ops/pallas/window_attn.py).  Measured on v5e it currently loses to
-    XLA's batched einsum at SR window sizes (12.1 vs 1.6 ms for
-    swinir-medium shapes — per-window grid overhead dominates), so the
-    einsum stays the default; the kernel is the base for a multi-window
-    tiled version.
+    XLA's batched einsum at SR window sizes (11 vs 1.5-2.4 ms for
+    swinir/hat shapes, both per-window and multi-window-tiled variants —
+    Mosaic schedules the small batched matmuls much worse than XLA's fused
+    batched dot).  The einsum stays the default; the kernel is kept as the
+    correctness-tested base for future window-fusion work.
     """
     import os
 

@@ -24,17 +24,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, o_ref):
-    q = q_ref[0, 0].astype(jnp.float32)      # (N, D)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-    s = s + bias_ref[0].astype(jnp.float32)
+    """One program handles TILE_W windows of one head as a batched matmul."""
+    q = q_ref[0].astype(jnp.float32)          # (TILE_W, N, D)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                          # (TILE_W, N, N)
+    s = s + bias_ref[:].astype(jnp.float32)[None]
     if mask_ref is not None:
-        s = s + mask_ref[0].astype(jnp.float32)
+        s = s + mask_ref[:].astype(jnp.float32)
     s = s - jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[0, 0] = jnp.dot(p, v, preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    o = jax.lax.dot_general(
+        p, v, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = o.astype(o_ref.dtype)
 
 
 def _forward(q, k, v, bias, mask, nw: int, interpret: bool):
@@ -42,23 +50,31 @@ def _forward(q, k, v, bias, mask, nw: int, interpret: bool):
     (H, N, N); mask (nW, N, N) or None.  Returns (B_, H, N, D)."""
     b_, h, n, d = q.shape
     batch = b_ // nw
-    qg = q.reshape(batch, nw, h, n, d)
-    kg = k.reshape(batch, nw, h, n, d)
-    vg = v.reshape(batch, nw, h, n, d)
+    # windows per program: target ~512 score rows per batched matmul
+    tile_w = max(1, min(nw, 512 // n))
+    while nw % tile_w != 0:
+        tile_w -= 1
+    n_tiles = nw // tile_w
 
-    grid = (batch, nw, h)
+    # layout (batch, h, nW, N, D): head-major so one program's windows are
+    # contiguous and the mask tile aligns with the window tile
+    qg = q.reshape(batch, nw, h, n, d).transpose(0, 2, 1, 3, 4)
+    kg = k.reshape(batch, nw, h, n, d).transpose(0, 2, 1, 3, 4)
+    vg = v.reshape(batch, nw, h, n, d).transpose(0, 2, 1, 3, 4)
+
+    grid = (batch, h, n_tiles)
     qkv_spec = pl.BlockSpec(
-        (1, 1, None, n, d), lambda b, w, hh: (b, w, hh, 0, 0),
+        (1, None, tile_w, n, d), lambda b, hh, w: (b, hh, w, 0, 0),
         memory_space=pltpu.VMEM,
     )
     bias_spec = pl.BlockSpec(
-        (1, n, n), lambda b, w, hh: (hh, 0, 0), memory_space=pltpu.VMEM
+        (None, n, n), lambda b, hh, w: (hh, 0, 0), memory_space=pltpu.VMEM
     )
     in_specs = [qkv_spec, qkv_spec, qkv_spec, bias_spec]
     args = [qg, kg, vg, bias]
     if mask is not None:
         in_specs.append(
-            pl.BlockSpec((1, n, n), lambda b, w, hh: (w, 0, 0),
+            pl.BlockSpec((tile_w, n, n), lambda b, hh, w: (w, 0, 0),
                          memory_space=pltpu.VMEM)
         )
         args.append(mask)
@@ -72,13 +88,13 @@ def _forward(q, k, v, bias, mask, nw: int, interpret: bool):
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, None, n, d), lambda b, w, hh: (b, w, hh, 0, 0),
+            (1, None, tile_w, n, d), lambda b, hh, w: (b, hh, w, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((batch, nw, h, n, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((batch, h, nw, n, d), q.dtype),
         interpret=interpret,
     )(*args)
-    return out.reshape(b_, h, n, d)
+    return out.transpose(0, 2, 1, 3, 4).reshape(b_, h, n, d)
 
 
 def _reference(q, k, v, bias, mask, nw: int):
