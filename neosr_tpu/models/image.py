@@ -572,7 +572,21 @@ class image(base):
                 w = min(sr_img_rgb.shape[1], gt_img_rgb.shape[1])
                 data = {"img": sr_img_rgb[:h, :w], "img2": gt_img_rgb[:h, :w]}
                 for name, opt_ in self.opt["val"]["metrics"].items():
-                    metric_results[name] += calculate_metric(data, opt_)
+                    if opt_.get("device") and opt_.get("type") in (
+                        "calculate_psnr", "calculate_ssim",
+                    ):
+                        # on-device fast path (same 0-255/crop/Y conventions)
+                        from neosr_tpu.metrics.jax_metrics import psnr_jnp, ssim_jnp
+
+                        fn = psnr_jnp if opt_["type"] == "calculate_psnr" else ssim_jnp
+                        metric_results[name] += float(fn(
+                            jnp.asarray(data["img"], jnp.float32),
+                            jnp.asarray(data["img2"], jnp.float32),
+                            crop_border=opt_.get("crop_border", 4),
+                            test_y_channel=opt_.get("test_y_channel", False),
+                        ))
+                    else:
+                        metric_results[name] += calculate_metric(data, opt_)
 
         if with_metrics and n_imgs:
             for metric in metric_results:
