@@ -40,6 +40,8 @@ def load_network(args):
         if cfg.get("network_g", {}).get("type", args.network) == args.network:
             net_opt.update(cfg["network_g"])
             net_opt["type"] = args.network
+    if args.window:  # archs like omnisr need the window explicitly
+        net_opt.setdefault("window_size", args.window)
     net = build_network(net_opt, scale=args.scale, dtype=dtype)
 
     if args.input.endswith(".safetensors"):

@@ -100,6 +100,26 @@ def init_tb_logger(log_dir: str):
     return SummaryWriter(log_dir=str(log_dir))
 
 
+def init_wandb_logger(opt) -> None:
+    """W&B in tensorboard-sync mode (reference logger.py:129-155); gated —
+    the wandb package is optional."""
+    try:
+        import wandb
+    except ImportError:
+        get_root_logger().warning("wandb is not installed; skipping wandb logger")
+        return
+    logger_opt = opt.get("logger", {}).get("wandb", {}) or {}
+    wandb.init(
+        id=wandb.util.generate_id() if logger_opt.get("resume_id") is None else logger_opt["resume_id"],
+        resume="allow" if logger_opt.get("resume_id") else None,
+        name=opt["name"],
+        config=opt,
+        project=logger_opt.get("project", "neosr_tpu"),
+        sync_tensorboard=True,
+    )
+    get_root_logger().info("wandb logger initialized (tensorboard sync mode)")
+
+
 def get_root_logger(
     logger_name: str = "neosr_tpu",
     log_level: int = logging.INFO,

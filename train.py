@@ -101,6 +101,14 @@ def train_pipeline(root_path: str) -> None:
     copy_opt_file(args.opt, opt["path"]["experiments_root"])
 
     tb_logger = None
+    if (
+        opt.get("logger", {}).get("wandb") is not None
+        and opt["logger"]["wandb"].get("project") is not None
+        and "debug" not in opt["name"]
+    ):
+        from neosr_tpu.utils.logger import init_wandb_logger
+
+        init_wandb_logger(opt)  # must precede TensorBoard init (sync mode)
     if opt.get("logger", {}).get("use_tb_logger") and "debug" not in opt["name"]:
         try:
             tb_logger = init_tb_logger(
