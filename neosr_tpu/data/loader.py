@@ -94,13 +94,17 @@ class TrainLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _producer(self) -> None:
+        # continuous index stream across virtual epochs: a dataset smaller
+        # than the global batch still yields full batches (indices simply
+        # span epoch boundaries) instead of deadlocking on drop_last
+        buf: list[int] = []
         while not self._stop.is_set():
             self.sampler.set_epoch(self._epoch)
-            indices = list(iter(self.sampler))
-            for start in range(0, len(indices), self.batch_size):
-                chunk = indices[start : start + self.batch_size]
-                if self.drop_last and len(chunk) < self.batch_size:
-                    break
+            self._epoch += 1
+            buf.extend(iter(self.sampler))
+            while len(buf) >= self.batch_size and not self._stop.is_set():
+                chunk = buf[: self.batch_size]
+                del buf[: self.batch_size]
                 try:
                     samples = list(self.pool.map(self.dataset.__getitem__, chunk))
                     batch = collate(samples)
@@ -112,9 +116,6 @@ class TrainLoader:
                         break
                     except queue.Full:
                         continue
-                if self._stop.is_set():
-                    return
-            self._epoch += 1
 
     def __iter__(self) -> "TrainLoader":
         return self

@@ -95,3 +95,25 @@ def test_dp_sp_mesh_train_step(tiny_paired_dataset, tmp_path):
     logs = model.get_current_log()
     loader.close()
     assert np.isfinite(logs["l_g_total"])
+
+
+def test_loader_dataset_smaller_than_batch(tiny_paired_dataset):
+    """Regression: dataset < global batch must not deadlock (indices stream
+    across virtual epochs)."""
+    from neosr_tpu.data import EnlargedSampler, build_dataloader, build_dataset
+
+    ds_opt = {
+        "type": "paired", "phase": "train", "scale": 4,
+        "dataroot_gt": tiny_paired_dataset["gt"],
+        "dataroot_lq": tiny_paired_dataset["lq"],
+        "patch_size": 8, "batch_size": 13,  # dataset has 8 images
+    }
+    train_set = build_dataset(ds_opt)
+    assert len(train_set) < 13
+    sampler = EnlargedSampler(len(train_set), 1, 0, 1, 0)
+    loader = build_dataloader(train_set, ds_opt, num_devices=1, sampler=sampler, seed=0)
+    it = iter(loader)
+    for _ in range(3):
+        batch = next(it)
+        assert batch["lq"].shape[0] == 13
+    loader.close()
