@@ -196,7 +196,7 @@ def bench_esrgan_otf_train(
 
 
 def bench_esrgan_otf_full(
-    batch: int = 8, gt_size: int = 256, scale: int = 4,
+    batch: int = 16, gt_size: int = 256, scale: int = 4,
     warmup: int = 2, iters: int = 10,
 ) -> dict:
     """The BASELINE north-star: esrgan training WITH on-the-fly degradations
