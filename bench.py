@@ -247,10 +247,11 @@ def bench_esrgan_otf_full(
     rng = np.random.default_rng(0)
 
     def make_batch(seed):
+        # uint8 GT matches the production dataset path (4x smaller H2D copy)
         r = np.random.default_rng(seed)
         return collate([
             {
-                "gt": r.random((gt_size, gt_size, 3)).astype(np.float32),
+                "gt": r.integers(0, 256, (gt_size, gt_size, 3), dtype=np.uint8),
                 "kernel1": (lambda k: (k / k.sum()).astype(np.float32))(r.random((21, 21))),
                 "kernel2": (lambda k: (k / k.sum()).astype(np.float32))(r.random((21, 21))),
                 "sinc_kernel": pulse_tensor(21),

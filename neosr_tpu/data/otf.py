@@ -104,10 +104,12 @@ class otf:
         gt_path = self.paths[index % len(self.paths)]
         retry = 3
         img_gt = None
+        # keep uint8 end-to-end: the device-side degradation graph
+        # normalizes in-graph, so the host->device copy is 4x smaller
         while retry > 0:
             try:
                 img_bytes = self.file_client.get(gt_path, "gt")
-                img_gt = imfrombytes(img_bytes, float32=True)[..., ::-1]  # RGB
+                img_gt = imfrombytes(img_bytes, float32=False)[..., ::-1]  # RGB
                 break
             except Exception:
                 retry -= 1
@@ -115,7 +117,7 @@ class otf:
                     # random substitute (reference otf_dataset.py:136-154)
                     gt_path = self.paths[int(self.rng.integers(0, len(self.paths)))]
                     img_bytes = self.file_client.get(gt_path, "gt")
-                    img_gt = imfrombytes(img_bytes, float32=True)[..., ::-1]
+                    img_gt = imfrombytes(img_bytes, float32=False)[..., ::-1]
                     break
                 time.sleep(1)
 
@@ -154,7 +156,7 @@ class otf:
             sinc_kernel = pulse_tensor(21)
 
         return {
-            "gt": np.ascontiguousarray(img_gt, dtype=np.float32),
+            "gt": np.ascontiguousarray(img_gt, dtype=np.uint8),
             "kernel1": kernel1,
             "kernel2": kernel2,
             "sinc_kernel": sinc_kernel.astype(np.float32),

@@ -1,10 +1,19 @@
 """OTF training strategy: image model + fused device-side degradations.
 
-Counterpart of /root/reference/neosr/models/otf.py:23-291.  `feed_data`
-runs the single-graph degradation pipeline (data/otf_device.py) on the GT
-batch + host-synthesized kernels, maintains the shuffled training-pair pool
-(queue_size, otf.py:37-90) as device arrays, and applies the batch
-augmentations.  Validation bypasses synthesis (paired data path).
+Counterpart of /root/reference/neosr/models/otf.py:23-291 (Real-ESRGAN
+degradation synthesis in feed_data + shuffled training-pair pool,
+queue_size default 180, otf.py:37-90).  TPU-native design: the ENTIRE
+training iteration — degradation graph, pool shuffle/swap, G/D losses,
+optimizer updates, EMA — is ONE jitted XLA program.  `feed_data` only
+transfers the (uint8) GT batch and per-sample kernels to the device;
+`optimize_parameters` runs the fused step with the pool buffers donated,
+so per-iteration dispatch overhead is two host calls instead of five+.
+
+When batch augmentations (MixUp/CutMix/...) are enabled the pipeline
+falls back to the split path (degrade -> pool -> host-routed augment ->
+train step), since `apply_augment` draws host-side randomness.
+
+Validation bypasses synthesis (paired data path, reference otf.py:285-291).
 """
 
 from __future__ import annotations
@@ -24,26 +33,34 @@ from neosr_tpu.utils.misc import tc
 from neosr_tpu.utils.registry import MODEL_REGISTRY
 
 
-@jax.jit
-def _pool_write(pool_lq, pool_gt, lq, gt, ptr):
-    pool_lq = jax.lax.dynamic_update_slice(pool_lq, lq, (ptr, 0, 0, 0))
-    pool_gt = jax.lax.dynamic_update_slice(pool_gt, gt, (ptr, 0, 0, 0))
-    return pool_lq, pool_gt
+def _pool_update(pool_lq, pool_gt, ptr, lq, gt, key):
+    """Training-pair pool as traced control flow (reference otf.py:37-90).
 
-
-@jax.jit
-def _pool_swap(pool_lq, pool_gt, lq, gt, key):
-    """Shuffle the pool, pop batch-size pairs, push the new batch in."""
+    While the pool is filling (ptr < q) the new batch is written at ptr and
+    passes through unchanged; once full, the pool is shuffled, the first
+    `b` pairs pop out, and the new batch takes their place.
+    """
     q = pool_lq.shape[0]
     b = lq.shape[0]
-    perm = jax.random.permutation(key, q)
-    pool_lq = pool_lq[perm]
-    pool_gt = pool_gt[perm]
-    out_lq = pool_lq[:b]
-    out_gt = pool_gt[:b]
-    pool_lq = jax.lax.dynamic_update_slice(pool_lq, lq, (0, 0, 0, 0))
-    pool_gt = jax.lax.dynamic_update_slice(pool_gt, gt, (0, 0, 0, 0))
-    return pool_lq, pool_gt, out_lq, out_gt
+
+    def fill(args):
+        pool_lq, pool_gt, ptr = args
+        pool_lq = jax.lax.dynamic_update_slice(pool_lq, lq, (ptr, 0, 0, 0))
+        pool_gt = jax.lax.dynamic_update_slice(pool_gt, gt, (ptr, 0, 0, 0))
+        return pool_lq, pool_gt, ptr + b, lq, gt
+
+    def swap(args):
+        pool_lq, pool_gt, ptr = args
+        perm = jax.random.permutation(key, q)
+        pool_lq = pool_lq[perm]
+        pool_gt = pool_gt[perm]
+        out_lq = pool_lq[:b]
+        out_gt = pool_gt[:b]
+        pool_lq = jax.lax.dynamic_update_slice(pool_lq, lq, (0, 0, 0, 0))
+        pool_gt = jax.lax.dynamic_update_slice(pool_gt, gt, (0, 0, 0, 0))
+        return pool_lq, pool_gt, ptr, out_lq, out_gt
+
+    return jax.lax.cond(ptr < q, fill, swap, (pool_lq, pool_gt, ptr))
 
 
 @MODEL_REGISTRY.register()
@@ -60,15 +77,59 @@ class otf(image):
             raise ValueError(msg)
 
         self._degrade = None
+        self._fused_step = None
+        self._pending = None  # (gt, k1, k2, sk) device arrays awaiting the fused step
         self._pool_lq = None
         self._pool_gt = None
-        self._pool_ptr = 0
+        self._pool_ptr = None
         self._np_rng = np.random.default_rng(opt.get("manual_seed", 0))
         self._key = jax.random.key(self._np_rng.integers(0, 2**31))
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    def _build_fused(self, gt_size: int) -> None:
+        degrade = make_degradation_fn(
+            self.opt["datasets"]["train"], self.scale, gt_size, self.patch_size
+        )
+        self._degrade = degrade
+        step_raw = self._train_step_raw
+        use_pool = bool(self.queue_size)
+        mesh = self.mesh
+        multi = mesh is not None and mesh.size > 1
+        if multi:
+            from neosr_tpu.parallel.mesh import batch_sharding
+
+            bspec = batch_sharding(mesh)
+
+        def fused(state, pool_lq, pool_gt, ptr, gt, k1, k2, sk):
+            rng, k_deg, k_pool = jax.random.split(state.rng, 3)
+            state = state.replace(rng=rng)
+            gt_p, lq_p = degrade(gt, k1, k2, sk, k_deg)
+            if use_pool:
+                pool_lq, pool_gt, ptr, lq_p, gt_p = _pool_update(
+                    pool_lq, pool_gt, ptr, lq_p, gt_p, k_pool
+                )
+            if multi:  # keep the training batch data-parallel over the mesh
+                lq_p = jax.lax.with_sharding_constraint(lq_p, bspec)
+                gt_p = jax.lax.with_sharding_constraint(gt_p, bspec)
+            new_state, losses = step_raw(state, lq_p, gt_p)
+            return new_state, pool_lq, pool_gt, ptr, losses
+
+        # donate state + pool buffers: they are overwritten every step
+        self._fused_step = jax.jit(fused, donate_argnums=(0, 1, 2, 3))
+
+    def _ensure_pool(self, gt_size: int) -> None:
+        b = self.opt["datasets"]["train"].get("batch_size", 1) * max(
+            self.opt.get("num_gpu", 1), 1
+        )
+        lq_size = self.patch_size
+        gt_patch = self.patch_size * self.scale
+        q = max((self.queue_size // b) * b, b)
+        self._pool_lq = jnp.zeros((q, lq_size, lq_size, 3), jnp.float32)
+        self._pool_gt = jnp.zeros((q, gt_patch, gt_patch, 3), jnp.float32)
+        self._pool_ptr = jnp.zeros([], jnp.int32)
 
     def feed_data(self, data: dict[str, Any]) -> None:
         if not self.is_train or "kernel1" not in data:
@@ -79,37 +140,52 @@ class otf(image):
         k1 = jnp.asarray(data["kernel1"])
         k2 = jnp.asarray(data["kernel2"])
         sk = jnp.asarray(data["sinc_kernel"])
+        gt_size = int(gt.shape[1])
 
+        if self.aug is not None:
+            self._feed_split(gt, k1, k2, sk, gt_size)
+            return
+
+        if self._fused_step is None:
+            self._build_fused(gt_size)
+            if self.queue_size:
+                self._ensure_pool(gt_size)
+        self._pending = (gt, k1, k2, sk)
+
+    def optimize_parameters(self, current_iter: int) -> None:
+        if self._pending is None:  # split path (augmentations) or paired val
+            super().optimize_parameters(current_iter)
+            return
+        gt, k1, k2, sk = self._pending
+        self._pending = None
+        (
+            self.state, self._pool_lq, self._pool_gt, self._pool_ptr, losses,
+        ) = self._fused_step(
+            self.state, self._pool_lq, self._pool_gt, self._pool_ptr,
+            gt, k1, k2, sk,
+        )
+        self.log_dict = losses
+
+    # ---------------- split path: batch augmentations need host randomness
+    def _feed_split(self, gt, k1, k2, sk, gt_size: int) -> None:
         if self._degrade is None:
-            gt_size = int(gt.shape[1])
             self._degrade = make_degradation_fn(
                 self.opt["datasets"]["train"], self.scale, gt_size, self.patch_size
             )
-
         gt_patch, lq_patch = self._degrade(gt, k1, k2, sk, self._next_key())
 
-        # ---- training-pair pool (reference otf.py:37-90) ----
         b = int(gt_patch.shape[0])
         if self.queue_size and self.queue_size >= b:
-            q = (self.queue_size // b) * b
             if self._pool_lq is None:
-                self._pool_lq = jnp.zeros((q, *lq_patch.shape[1:]), jnp.float32)
-                self._pool_gt = jnp.zeros((q, *gt_patch.shape[1:]), jnp.float32)
-                self._pool_ptr = 0
-            if self._pool_ptr < q:
-                self._pool_lq, self._pool_gt = _pool_write(
-                    self._pool_lq, self._pool_gt, lq_patch, gt_patch,
-                    self._pool_ptr,
+                self._ensure_pool(gt_size)
+            self._pool_lq, self._pool_gt, self._pool_ptr, lq_patch, gt_patch = (
+                jax.jit(_pool_update)(
+                    self._pool_lq, self._pool_gt, self._pool_ptr,
+                    lq_patch, gt_patch, self._next_key(),
                 )
-                self._pool_ptr += b
-            else:
-                self._pool_lq, self._pool_gt, lq_patch, gt_patch = _pool_swap(
-                    self._pool_lq, self._pool_gt, lq_patch, gt_patch,
-                    self._next_key(),
-                )
+            )
 
-        # ---- batch augmentations ----
-        if self.aug is not None and b > 1:
+        if b > 1:
             gt_patch, lq_patch = apply_augment(
                 gt_patch, lq_patch, self.scale, self.aug, self.aug_prob,
                 key=self._next_key(), np_rng=self._np_rng,

@@ -176,3 +176,76 @@ def test_otf_end_to_end(tiny_paired_dataset, tmp_path):
         losses.append(model.get_current_log()["l_g_total"])
     loader.close()
     assert np.isfinite(losses).all()
+
+
+def _otf_train_opts(tiny_paired_dataset, tmp_path, batch):
+    from tests.test_smoke_train import make_opt
+
+    opt = make_opt(tiny_paired_dataset, tmp_path)
+    opt["model_type"] = "otf"
+    opt["datasets"]["train"] = {
+        "type": "otf", "phase": "train",
+        "dataroot_gt": tiny_paired_dataset["gt"],
+        "gt_size": 64, "patch_size": 8, "batch_size": batch,
+        "queue_size": batch * 2, "scale": 4, "seed": 0,
+        "resize_prob": [0.3, 0.4, 0.3], "resize_range": [0.5, 1.5],
+        "gaussian_noise_prob": 0.5, "noise_range": [1, 15],
+        "poisson_scale_range": [0.05, 0.5], "gray_noise_prob": 0.3,
+        "jpeg_range": [40, 95], "second_blur_prob": 0.5,
+        "resize_prob2": [0.3, 0.4, 0.3], "resize_range2": [0.3, 1.5],
+        "gaussian_noise_prob2": 0.5, "noise_range2": [1, 10],
+        "poisson_scale_range2": [0.05, 0.25], "gray_noise_prob2": 0.3,
+        "jpeg_range2": [40, 95],
+        "blur_kernel_size": 7, "blur_kernel_size2": 9,
+        "kernel_list": ["iso", "aniso"], "kernel_prob": [0.7, 0.3],
+        "kernel_list2": ["iso", "aniso"], "kernel_prob2": [0.7, 0.3],
+        "sinc_prob": 0.1, "sinc_prob2": 0.1, "final_sinc_prob": 0.8,
+    }
+    return opt
+
+
+def test_otf_fused_single_program(tiny_paired_dataset, tmp_path):
+    """No augmentations -> the fused degrade+pool+train XLA program runs."""
+    from neosr_tpu.data import EnlargedSampler, build_dataloader, build_dataset
+    from neosr_tpu.models import build_model
+
+    opt = _otf_train_opts(tiny_paired_dataset, tmp_path, batch=2)
+    train_set = build_dataset(opt["datasets"]["train"])
+    sampler = EnlargedSampler(len(train_set), 1, 0, 1, 7)
+    loader = build_dataloader(
+        train_set, opt["datasets"]["train"], num_devices=1, sampler=sampler, seed=7
+    )
+    model = build_model(opt)
+    it = iter(loader)
+    losses = []
+    for i in range(5):  # covers pool fill (q=4: 2 iters) AND swap phases
+        model.feed_data(next(it))
+        model.optimize_parameters(i + 1)
+        losses.append(model.get_current_log()["l_g_total"])
+    loader.close()
+    assert model._fused_step is not None
+    assert int(model._pool_ptr) == 4  # pool filled, then swapping
+    assert np.isfinite(losses).all()
+
+
+def test_otf_fused_multichip(tiny_paired_dataset, tmp_path):
+    """Fused OTF step shards the batch over an 8-device mesh."""
+    import jax
+
+    from neosr_tpu.data import build_dataset
+    from neosr_tpu.data.loader import collate
+    from neosr_tpu.models import build_model
+
+    if jax.device_count() < 8:
+        import pytest
+
+        pytest.skip("needs 8 fake devices")
+    opt = _otf_train_opts(tiny_paired_dataset, tmp_path, batch=1)
+    opt["num_gpu"] = 8
+    train_set = build_dataset(opt["datasets"]["train"])
+    model = build_model(opt)
+    batch = collate([train_set[i] for i in range(8)])
+    for i in range(3):
+        model.feed_data(batch)
+        model.optimize_parameters(i + 1)
+    assert np.isfinite(model.get_current_log()["l_g_total"])
