@@ -165,3 +165,27 @@ def test_schedule_free_optimizer(tiny_paired_dataset, tmp_path):
     # eval params come from the schedule-free average
     ev = model._eval_params()
     assert ev is not None
+
+
+def test_uint8_paired_training(tiny_paired_dataset, tmp_path):
+    """out_dtype='uint8' ships raw bytes; the jitted step normalizes in-graph
+    and matches float32 training numerically on the first step."""
+    from neosr_tpu.data import build_dataset
+    from neosr_tpu.data.loader import collate
+    from neosr_tpu.models import build_model
+
+    losses = {}
+    for dt in ("float32", "uint8"):
+        opt = make_opt(tiny_paired_dataset, tmp_path)
+        opt["name"] = f"smoke_{dt}"
+        opt["datasets"]["train"]["out_dtype"] = dt
+        opt["datasets"]["train"]["seed"] = 3
+        train_set = build_dataset(opt["datasets"]["train"])
+        batch = collate([train_set[0], train_set[1]])
+        assert batch["lq"].dtype == (np.uint8 if dt == "uint8" else np.float32)
+        model = build_model(opt)
+        model.feed_data(batch)
+        model.optimize_parameters(1)
+        losses[dt] = model.get_current_log()["l_g_total"]
+    # same crops (seeded), same init seed: uint8/255 == float32 exactly
+    assert abs(losses["uint8"] - losses["float32"]) < 1e-5, losses
