@@ -179,3 +179,73 @@ def apply_augment(
     if scale > 1:
         lq = _hr_to_lq(lq, scale)
     return gt, lq
+
+
+def make_augment_fn(
+    scale: int,
+    augs=("none", "mixup", "cutmix", "resizemix", "cutblur"),
+    prob=(0.1, 0.3, 0.2, 0.7, 0.8),
+    multi_prob: float = 0.3,
+):
+    """Fully-traced apply_augment for fusion into a single XLA program.
+
+    Same per-batch distribution as the host-orchestrated version (reference
+    augmentations.py:219-310): with prob `multi_prob` a random number
+    num in [2, len(augs)) of DISTINCT augs is drawn by weighted sampling
+    without replacement, else one weighted draw.  The Gumbel-top-k trick
+    reproduces sequential weighted sampling without replacement exactly, so
+    the selection can be traced; augs apply in the same fixed order.
+    """
+    if len(augs) != len(prob):
+        msg = "Length of 'augmentation' and aug_prob don't match!"
+        raise ValueError(msg)
+    augs = tuple(augs)
+    w = np.asarray(prob, np.float64)
+    log_w = jnp.asarray(np.log(np.maximum(w, 1e-30)), jnp.float32)
+    n = len(augs)
+    can_multi = multi_prob > 0 and n > 2
+
+    def augment(gt, lq, key):
+        if gt.shape[0] == 1:
+            msg = "Augmentations need batch >1 to work."
+            raise ValueError(msg)
+        k_mode, k_multi, k_num, k_sel, k_app = jax.random.split(key, 5)
+
+        if scale > 1:  # LQ -> HR space (random bilinear/bicubic, ref :262)
+            lq = jax.lax.cond(
+                jax.random.bernoulli(k_mode),
+                lambda x: _lq_to_hr(x, scale, "bilinear"),
+                lambda x: _lq_to_hr(x, scale, "bicubic"),
+                lq,
+            )
+
+        # weighted sampling without replacement via Gumbel top-k
+        gumbel = jax.random.gumbel(k_sel, (n,))
+        rank = jnp.argsort(jnp.argsort(-(log_w + gumbel)))
+        if can_multi:
+            num = jnp.where(
+                jax.random.bernoulli(k_multi, multi_prob),
+                jax.random.randint(k_num, (), 2, n),
+                1,
+            )
+        else:
+            num = jnp.ones((), jnp.int32)
+        selected = rank < num
+
+        keys = jax.random.split(k_app, 4)
+        for i, name in enumerate(("cutmix", "mixup", "resizemix", "cutblur")):
+            if name in augs:
+                idx = augs.index(name)
+                fn = _AUG_FNS[name]
+                gt, lq = jax.lax.cond(
+                    selected[idx],
+                    lambda g, l, k, fn=fn: fn(g, l, k),
+                    lambda g, l, k: (g, l),
+                    gt, lq, keys[i],
+                )
+
+        if scale > 1:
+            lq = _hr_to_lq(lq, scale)
+        return gt, lq
+
+    return augment

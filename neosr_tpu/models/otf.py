@@ -3,15 +3,12 @@
 Counterpart of /root/reference/neosr/models/otf.py:23-291 (Real-ESRGAN
 degradation synthesis in feed_data + shuffled training-pair pool,
 queue_size default 180, otf.py:37-90).  TPU-native design: the ENTIRE
-training iteration — degradation graph, pool shuffle/swap, G/D losses,
-optimizer updates, EMA — is ONE jitted XLA program.  `feed_data` only
-transfers the (uint8) GT batch and per-sample kernels to the device;
+training iteration — degradation graph, pool shuffle/swap, batch
+augmentations (traced MixUp/CutMix/ResizeMix/CutBlur selection), G/D
+losses, optimizer updates, EMA — is ONE jitted XLA program.  `feed_data`
+only transfers the (uint8) GT batch and per-sample kernels to the device;
 `optimize_parameters` runs the fused step with the pool buffers donated,
 so per-iteration dispatch overhead is two host calls instead of five+.
-
-When batch augmentations (MixUp/CutMix/...) are enabled the pipeline
-falls back to the split path (degrade -> pool -> host-routed augment ->
-train step), since `apply_augment` draws host-side randomness.
 
 Validation bypasses synthesis (paired data path, reference otf.py:285-291).
 """
@@ -25,10 +22,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from neosr_tpu.data.augmentations import apply_augment
+from neosr_tpu.data.augmentations import make_augment_fn
 from neosr_tpu.data.otf_device import make_degradation_fn
 from neosr_tpu.models.image import image
-from neosr_tpu.parallel.mesh import shard_batch
 from neosr_tpu.utils.misc import tc
 from neosr_tpu.utils.registry import MODEL_REGISTRY
 
@@ -76,24 +72,21 @@ class otf(image):
             msg = f"{tc.red}patch_size must be a multiple of 4 when using augmentations.{tc.end}"
             raise ValueError(msg)
 
-        self._degrade = None
         self._fused_step = None
         self._pending = None  # (gt, k1, k2, sk) device arrays awaiting the fused step
         self._pool_lq = None
         self._pool_gt = None
         self._pool_ptr = None
-        self._np_rng = np.random.default_rng(opt.get("manual_seed", 0))
-        self._key = jax.random.key(self._np_rng.integers(0, 2**31))
-
-    def _next_key(self):
-        self._key, sub = jax.random.split(self._key)
-        return sub
 
     def _build_fused(self, gt_size: int) -> None:
         degrade = make_degradation_fn(
             self.opt["datasets"]["train"], self.scale, gt_size, self.patch_size
         )
-        self._degrade = degrade
+        augment = (
+            make_augment_fn(self.scale, self.aug, self.aug_prob)
+            if self.aug is not None
+            else None
+        )
         step_raw = self._train_step_raw
         use_pool = bool(self.queue_size)
         mesh = self.mesh
@@ -104,13 +97,15 @@ class otf(image):
             bspec = batch_sharding(mesh)
 
         def fused(state, pool_lq, pool_gt, ptr, gt, k1, k2, sk):
-            rng, k_deg, k_pool = jax.random.split(state.rng, 3)
+            rng, k_deg, k_pool, k_aug = jax.random.split(state.rng, 4)
             state = state.replace(rng=rng)
             gt_p, lq_p = degrade(gt, k1, k2, sk, k_deg)
             if use_pool:
                 pool_lq, pool_gt, ptr, lq_p, gt_p = _pool_update(
                     pool_lq, pool_gt, ptr, lq_p, gt_p, k_pool
                 )
+            if augment is not None and gt_p.shape[0] > 1:
+                gt_p, lq_p = augment(gt_p, lq_p, k_aug)
             if multi:  # keep the training batch data-parallel over the mesh
                 lq_p = jax.lax.with_sharding_constraint(lq_p, bspec)
                 gt_p = jax.lax.with_sharding_constraint(gt_p, bspec)
@@ -120,7 +115,7 @@ class otf(image):
         # donate state + pool buffers: they are overwritten every step
         self._fused_step = jax.jit(fused, donate_argnums=(0, 1, 2, 3))
 
-    def _ensure_pool(self, gt_size: int) -> None:
+    def _ensure_pool(self) -> None:
         b = self.opt["datasets"]["train"].get("batch_size", 1) * max(
             self.opt.get("num_gpu", 1), 1
         )
@@ -140,20 +135,15 @@ class otf(image):
         k1 = jnp.asarray(data["kernel1"])
         k2 = jnp.asarray(data["kernel2"])
         sk = jnp.asarray(data["sinc_kernel"])
-        gt_size = int(gt.shape[1])
-
-        if self.aug is not None:
-            self._feed_split(gt, k1, k2, sk, gt_size)
-            return
 
         if self._fused_step is None:
-            self._build_fused(gt_size)
+            self._build_fused(int(gt.shape[1]))
             if self.queue_size:
-                self._ensure_pool(gt_size)
+                self._ensure_pool()
         self._pending = (gt, k1, k2, sk)
 
     def optimize_parameters(self, current_iter: int) -> None:
-        if self._pending is None:  # split path (augmentations) or paired val
+        if self._pending is None:  # paired data (validation-style feed)
             super().optimize_parameters(current_iter)
             return
         gt, k1, k2, sk = self._pending
@@ -165,32 +155,3 @@ class otf(image):
             gt, k1, k2, sk,
         )
         self.log_dict = losses
-
-    # ---------------- split path: batch augmentations need host randomness
-    def _feed_split(self, gt, k1, k2, sk, gt_size: int) -> None:
-        if self._degrade is None:
-            self._degrade = make_degradation_fn(
-                self.opt["datasets"]["train"], self.scale, gt_size, self.patch_size
-            )
-        gt_patch, lq_patch = self._degrade(gt, k1, k2, sk, self._next_key())
-
-        b = int(gt_patch.shape[0])
-        if self.queue_size and self.queue_size >= b:
-            if self._pool_lq is None:
-                self._ensure_pool(gt_size)
-            self._pool_lq, self._pool_gt, self._pool_ptr, lq_patch, gt_patch = (
-                jax.jit(_pool_update)(
-                    self._pool_lq, self._pool_gt, self._pool_ptr,
-                    lq_patch, gt_patch, self._next_key(),
-                )
-            )
-
-        if b > 1:
-            gt_patch, lq_patch = apply_augment(
-                gt_patch, lq_patch, self.scale, self.aug, self.aug_prob,
-                key=self._next_key(), np_rng=self._np_rng,
-            )
-
-        batch = shard_batch({"lq": lq_patch, "gt": gt_patch}, self.mesh)
-        self.lq = batch["lq"]
-        self.gt = batch["gt"]

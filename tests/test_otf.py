@@ -170,11 +170,10 @@ def test_otf_end_to_end(tiny_paired_dataset, tmp_path):
     losses = []
     for i in range(4):
         model.feed_data(next(it))
-        assert model.lq.shape == (2, 8, 8, 3)
-        assert model.gt.shape == (2, 32, 32, 3)
         model.optimize_parameters(i + 1)
         losses.append(model.get_current_log()["l_g_total"])
     loader.close()
+    assert model._fused_step is not None  # augs now fuse too (traced selection)
     assert np.isfinite(losses).all()
 
 
@@ -249,3 +248,26 @@ def test_otf_fused_multichip(tiny_paired_dataset, tmp_path):
         model.feed_data(batch)
         model.optimize_parameters(i + 1)
     assert np.isfinite(model.get_current_log()["l_g_total"])
+
+
+def test_traced_augment_fn():
+    """make_augment_fn jits standalone and covers every aug combination."""
+    import jax
+    import jax.numpy as jnp
+
+    from neosr_tpu.data.augmentations import make_augment_fn
+
+    rng = np.random.default_rng(0)
+    gt = jnp.asarray(rng.random((4, 32, 32, 3), np.float32))
+    lq = jnp.asarray(rng.random((4, 8, 8, 3), np.float32))
+    fn = jax.jit(make_augment_fn(
+        4, ("none", "mixup", "cutmix", "resizemix", "cutblur"),
+        (0.2, 0.2, 0.2, 0.2, 0.2),
+    ))
+    changed = 0
+    for i in range(8):
+        g2, l2 = fn(gt, lq, jax.random.key(i))
+        assert g2.shape == gt.shape and l2.shape == lq.shape
+        assert np.isfinite(np.asarray(g2)).all() and np.isfinite(np.asarray(l2)).all()
+        changed += int(not np.allclose(np.asarray(g2), np.asarray(gt)))
+    assert changed >= 3  # selection actually varies across keys
