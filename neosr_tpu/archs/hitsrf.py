@@ -142,6 +142,7 @@ class hit_srf(nn.Module):
     upsampler: str = "pixelshuffledirect"
     resi_connection: str = "1conv"
     hier_win_ratios: Sequence[float] = (0.5, 1, 2, 4, 6, 8)
+    use_checkpoint: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -162,12 +163,16 @@ class hit_srf(nn.Module):
         for gi, depth in enumerate(self.depths):
             res = h
             for i in range(depth):
-                h = HierarchicalBlock(
+                blk = HierarchicalBlock(
                     self.embed_dim, self.num_heads[gi],
                     tuple(self.base_win_size),
                     (win_hs[i % len(win_hs)], win_ws[i % len(win_ws)]),
                     self.mlp_ratio, float(dpr[cur + i]), self.dtype,
-                )(h, deterministic)
+                )
+                if self.use_checkpoint:  # remat (reference hitsrf_arch.py flag)
+                    h = nn.remat(HierarchicalBlock.__call__, static_argnums=(2,))(blk, h, deterministic)
+                else:
+                    h = blk(h, deterministic)
             cur += depth
             if self.resi_connection == "1conv":
                 h = Conv2d(self.embed_dim, 3, dtype=self.dtype)(h)

@@ -237,6 +237,7 @@ class hma(nn.Module):
     img_range: float = 1.0
     upsampler: str = "pixelshuffle"
     resi_connection: str = "1conv"
+    use_checkpoint: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -256,13 +257,13 @@ class hma(nn.Module):
             for i in range(depth):
                 if i % 2 == 0:
                     h = FusedConv(self.embed_dim, 6, 2, self.dtype)(h)
-                    h = FAB(self.embed_dim, self.num_heads[gi], self.window_size,
-                            0, self.mlp_ratio, float(dpr[cur + i]), self.dtype)(
-                        h, deterministic)
+                fab = FAB(self.embed_dim, self.num_heads[gi], self.window_size,
+                          0 if i % 2 == 0 else self.window_size // 2,
+                          self.mlp_ratio, float(dpr[cur + i]), self.dtype)
+                if self.use_checkpoint:  # remat (reference hma_arch.py flag)
+                    h = nn.remat(FAB.__call__, static_argnums=(2,))(fab, h, deterministic)
                 else:
-                    h = FAB(self.embed_dim, self.num_heads[gi], self.window_size,
-                            self.window_size // 2, self.mlp_ratio,
-                            float(dpr[cur + i]), self.dtype)(h, deterministic)
+                    h = fab(h, deterministic)
             cur += depth
             g = GAB(self.embed_dim, self.num_heads[gi], self.window_size,
                     self.interval_size, self.mlp_ratio, self.dtype)(h, deterministic)

@@ -166,6 +166,7 @@ class srformer(nn.Module):
     img_range: float = 1.0
     upsampler: str = "pixelshuffledirect"
     resi_connection: str = "1conv"
+    use_checkpoint: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -183,12 +184,16 @@ class srformer(nn.Module):
         for gi, depth in enumerate(self.depths):
             res = h
             for i in range(depth):
-                h = PSABlock(
+                blk = PSABlock(
                     self.embed_dim, self.num_heads[gi], self.window_size,
                     0 if i % 2 == 0 else self.window_size // 2,
                     self.mlp_ratio, self.qkv_bias, self.qk_scale,
                     float(dpr[start + i]), self.dtype,
-                )(h, deterministic)
+                )
+                if self.use_checkpoint:  # remat: recompute in backward (ref srformer_arch.py)
+                    h = nn.remat(PSABlock.__call__, static_argnums=(2,))(blk, h, deterministic)
+                else:
+                    h = blk(h, deterministic)
             start += depth
             if self.resi_connection == "1conv":
                 h = Conv2d(self.embed_dim, 3, dtype=self.dtype)(h)

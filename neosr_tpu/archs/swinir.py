@@ -42,19 +42,29 @@ class RSTB(nn.Module):
     drop: float = 0.0
     drop_path: Sequence[float] = ()
     resi_connection: str = "1conv"
+    use_checkpoint: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        # use_checkpoint rematerializes each block's activations in the
+        # backward pass (reference swinir_arch.py:502,540) — on TPU this
+        # trades MXU FLOPs for HBM, the standard memory lever under jit.
+        # The lift is applied to the *call* so param names don't change and
+        # checkpoints stay interchangeable with use_checkpoint=false.
         res = x
         for i in range(self.depth):
             dp = self.drop_path[i] if i < len(self.drop_path) else 0.0
-            x = SwinBlock(
+            blk = SwinBlock(
                 self.dim, self.num_heads, self.window_size,
                 0 if i % 2 == 0 else self.window_size // 2,
                 self.mlp_ratio, self.qkv_bias, self.qk_scale,
                 self.drop, dp, self.dtype,
-            )(x, deterministic=deterministic)
+            )
+            if self.use_checkpoint:
+                x = nn.remat(SwinBlock.__call__, static_argnums=(2,))(blk, x, deterministic)
+            else:
+                x = blk(x, deterministic)
         if self.resi_connection == "1conv":
             x = Conv2d(self.dim, 3, dtype=self.dtype)(x)
         else:  # 3conv
@@ -81,6 +91,7 @@ class swinir(nn.Module):
     img_range: float = 1.0
     upsampler: str = "pixelshuffle"
     resi_connection: str = "1conv"
+    use_checkpoint: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -102,7 +113,7 @@ class swinir(nn.Module):
                 self.embed_dim, depth, self.num_heads[i], self.window_size,
                 self.mlp_ratio, self.qkv_bias, self.qk_scale, self.drop_rate,
                 tuple(float(v) for v in dpr[start : start + depth]),
-                self.resi_connection, self.dtype,
+                self.resi_connection, self.use_checkpoint, self.dtype,
             )(h, deterministic=deterministic)
             start += depth
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(h)

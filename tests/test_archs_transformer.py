@@ -69,3 +69,21 @@ def test_window_partition_roundtrip():
     assert w.shape == (2 * 2 * 3, 64, 5)
     back = window_reverse(w, 8, 16, 24)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_use_checkpoint_param_compatible():
+    """use_checkpoint (remat) keeps the same param tree and forward output,
+    so checkpoints are interchangeable (reference swinir/srformer/hitsrf/hma
+    use_checkpoint flag)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neosr_tpu.archs import build_network
+
+    x = jnp.asarray(np.random.default_rng(0).random((1, 16, 16, 3), np.float32))
+    a = build_network({"type": "swinir_small"}, scale=4)
+    b = build_network({"type": "swinir_small", "use_checkpoint": True}, scale=4)
+    p = jax.jit(a.init)(jax.random.key(0), x)["params"]
+    ya = jax.jit(lambda p, x: a.apply({"params": p}, x))(p, x)
+    yb = jax.jit(lambda p, x: b.apply({"params": p}, x))(p, x)  # same params load
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=1e-6)
