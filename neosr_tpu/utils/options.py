@@ -5,8 +5,9 @@ Accepts the same TOML files and CLI flags as the reference's parse_options
 `--auto_resume`, `--debug`, plus the convert-script group.  Differences are
 TPU-native by design:
 
-* `--launcher` is gone; multi-host runs use `jax.distributed` and are
-  detected automatically (``opt["rank"] = jax.process_index()``).
+* `--launcher {none,pytorch,slurm}` maps to `jax.distributed.initialize()`
+  (auto-detects TPU pods / GKE / Slurm); ranks come from
+  ``jax.process_index()`` instead of torch.distributed.
 * ``num_gpu`` is accepted for compatibility but normalized into
   ``num_devices`` from the live JAX backend.
 * Determinism needs no cudnn/cublas switches — XLA is deterministic by
@@ -16,6 +17,7 @@ TPU-native by design:
 from __future__ import annotations
 
 import argparse
+import logging
 import random
 import sys
 import tomllib
@@ -96,10 +98,39 @@ def parse_options(
         msg = f"{tc.light_blue}Config files must be TOML (see options/ templates).{tc.end}"
         raise ValueError(msg)
 
+    maybe_init_distributed(args.launcher)
     opt = toml_load(args.opt)
     opt_from_dict(opt, root_path=root_path, is_train=is_train, debug=args.debug)
     opt["auto_resume"] = args.auto_resume
     return opt, args
+
+
+def maybe_init_distributed(launcher: str = "none") -> None:
+    """Multi-host bootstrap (replaces the reference's NCCL init_dist,
+    dist_util.py:12-62).  `jax.distributed.initialize()` auto-detects TPU
+    pods, GKE, and Slurm clusters; under `--launcher none` it is only
+    attempted when a coordinator is advertised via the environment, so
+    single-host runs never pay the probe."""
+    import os
+
+    env_hints = (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS", "SLURM_JOB_NUM_NODES",
+    )
+    if launcher == "none" and not any(os.environ.get(v) for v in env_hints):
+        return
+    if launcher == "slurm" and int(os.environ.get("SLURM_JOB_NUM_NODES", "1")) <= 1:
+        return
+    import jax
+
+    try:
+        jax.distributed.initialize()
+        logging.getLogger("neosr_tpu").info(
+            "jax.distributed initialized: process %d/%d",
+            jax.process_index(), jax.process_count(),
+        )
+    except Exception as e:  # already initialized, or single-process probe
+        logging.getLogger("neosr_tpu").debug("jax.distributed.initialize skipped: %s", e)
 
 
 def opt_from_dict(
