@@ -57,10 +57,14 @@ class SPAB(nn.Module):
         mid = self.mid_channels or c
         out_c = self.out_channels or c
         out1 = Conv3XC(mid, gain=2, dtype=self.dtype)(x)
-        out2 = Conv3XC(mid, gain=2, dtype=self.dtype)(jax.nn.silu(out1))
+        out1_act = jax.nn.silu(out1)
+        out2 = Conv3XC(mid, gain=2, dtype=self.dtype)(out1_act)
         out3 = Conv3XC(out_c, gain=2, dtype=self.dtype)(jax.nn.silu(out2))
         sim_att = jax.nn.sigmoid(out3) - 0.5
-        return (out3 + x) * sim_att, out1, sim_att
+        # the reference's SiLU(inplace=True) mutates out1 before it is
+        # returned (span_arch.py:207-222), so the activated tensor is what
+        # reaches conv_cat via out_b5_2 — match that
+        return (out3 + x) * sim_att, out1_act, sim_att
 
 
 @ARCH_REGISTRY.register()

@@ -29,12 +29,15 @@ class SPABPlus(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         out1 = Conv3XC(c, gain=2, dtype=self.dtype)(x)
-        out2 = Conv3XC(c, gain=2, dtype=self.dtype)(_mish(out1))
+        out1_act = _mish(out1)
+        out2 = Conv3XC(c, gain=2, dtype=self.dtype)(out1_act)
         out3 = Conv3XC(c, gain=2, dtype=self.dtype)(_mish(out2))
         sim_att = jax.nn.sigmoid(out3) - 0.5
         out = (out3 + x) * sim_att
         if self.end:
-            return out, out1
+            # reference Mish(inplace=True) mutates out1 before return
+            # (spanplus_arch.py:129-145) — the activated tensor escapes
+            return out, out1_act
         return out
 
 

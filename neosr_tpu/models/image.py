@@ -174,6 +174,7 @@ class image(base):
                     self.params_d, load_path_d,
                     opt["path"].get("param_key_d", "params"),
                     opt["path"].get("strict_load_d", True),
+                    net="network_d",
                 )
 
         # ---- ECO / SAM / color matching ---------------------------------
@@ -629,9 +630,23 @@ class image(base):
             self.metric_results = metric_results
 
     # --------------------------------------------------------- checkpoints
-    def _load_network(self, target, load_path: str, param_key: str, strict: bool):
+    def _load_network(self, target, load_path: str, param_key: str, strict: bool,
+                      net: str = "network_g"):
         logger = get_root_logger()
-        loaded = load_pytree(load_path)
+        suffix = Path(load_path).suffix.lower()
+        if suffix in (".pth", ".pt"):
+            # reference-ecosystem torch checkpoint: convert key layout
+            # (reference save format base.py:281-354; openmodeldb models)
+            from neosr_tpu.utils.torch_interop import load_torch_checkpoint
+
+            arch_type = self.opt.get(net, {}).get("type", "")
+            loaded = load_torch_checkpoint(load_path, arch_type, param_key)
+        elif suffix == ".safetensors":
+            from neosr_tpu.utils.checkpoint import load_safetensors
+
+            loaded = load_safetensors(load_path)
+        else:
+            loaded = load_pytree(load_path)
         for key in (param_key, "params-ema", "params_ema", "params"):
             if isinstance(loaded, dict) and key in loaded:
                 loaded = loaded[key]

@@ -67,7 +67,7 @@ def test_train_step_decreases_loss(tiny_paired_dataset, tmp_path):
 
     losses = []
     it = iter(loader)
-    for i in range(8):
+    for i in range(16):
         batch = next(it)
         assert batch["lq"].shape == (2, 8, 8, 3)
         assert batch["gt"].shape == (2, 32, 32, 3)
@@ -76,7 +76,10 @@ def test_train_step_decreases_loss(tiny_paired_dataset, tmp_path):
         losses.append(model.get_current_log()["l_g_total"])
     loader.close()
     assert np.isfinite(losses).all()
-    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    # compare window means, not endpoints: per-batch crops are random so
+    # single-step losses are noisy even while the trend is down
+    first, last = np.mean(losses[:4]), np.mean(losses[-4:])
+    assert last < first, f"loss did not decrease: {losses}"
 
 
 def test_validation_and_metrics(tiny_paired_dataset, tmp_path):
