@@ -46,6 +46,11 @@ def load_network(args):
 
     if args.input.endswith(".safetensors"):
         loaded = load_safetensors(args.input)
+    elif args.input.endswith((".pth", ".pt")):
+        # reference-ecosystem torch checkpoint: convert the key layout
+        from neosr_tpu.utils.torch_interop import load_torch_checkpoint
+
+        loaded = load_torch_checkpoint(args.input, args.network)
     else:
         loaded = load_pytree(args.input)
     for key in ("params-ema", "params_ema", "params"):
@@ -101,6 +106,13 @@ def to_exports(args) -> None:
         })
         logger.info(f"safetensors written: {st_path}")
 
+    if args.pth:
+        from neosr_tpu.utils.torch_interop import save_torch_checkpoint
+
+        pth_path = out_dir / f"{stem}.pth"
+        save_torch_checkpoint(pth_path, params, args.network)
+        logger.info(f"torch-layout checkpoint written: {pth_path}")
+
     # StableHLO export (always; the TPU-native deployment format)
     try:
         from jax import export as jax_export
@@ -144,6 +156,6 @@ if __name__ == "__main__":
     if args.input is None or args.network is None:
         print("convert.py requires --input <checkpoint> and -net <arch>.")
         sys.exit(1)
-    if not args.safetensor and not args.onnx:
+    if not args.safetensor and not args.onnx and not args.pth:
         args.safetensor = True  # default export
     to_exports(args)

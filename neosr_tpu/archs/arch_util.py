@@ -266,10 +266,12 @@ class DySample(nn.Module):
         n, h, w, c = x.shape
         r = self.scale
         g = self.groups
-        # offset prediction: 2 coords per group per subpixel position
+        # offset prediction: 2 coords per group per subpixel position.
+        # init parity with the reference (arch_util.py:62-64): offset
+        # trunc-normal(0.02), scope zero and bias-free
         offset = Conv2d(2 * g * r * r, 1, dtype=self.dtype,
-                        kernel_init=nn.initializers.zeros_init())(x)
-        scope = Conv2d(2 * g * r * r, 1, dtype=self.dtype,
+                        kernel_init=trunc_normal_init())(x)
+        scope = Conv2d(2 * g * r * r, 1, use_bias=False, dtype=self.dtype,
                        kernel_init=nn.initializers.zeros_init())(x)
         offset = offset * jax.nn.sigmoid(scope) * 0.5 + _init_pos(r, g)
 
@@ -280,8 +282,11 @@ class DySample(nn.Module):
 
         base_y = jnp.arange(h * r) // r
         base_x = jnp.arange(w * r) // r
-        grid_y = offset[..., 0] + base_y[None, :, None, None]
-        grid_x = offset[..., 1] + base_x[None, None, :, None]
+        # component order (x, y) matches the torch layout (grid_sample
+        # convention, reference arch_util.py:79-103) so imported offset-conv
+        # weights keep their meaning
+        grid_x = offset[..., 0] + base_x[None, None, :, None]
+        grid_y = offset[..., 1] + base_y[None, :, None, None]
 
         # bilinear gather per group
         xg = x.reshape(n, h, w, g, c // g)
@@ -295,7 +300,7 @@ class DySample(nn.Module):
 def _init_pos(scale: int, groups: int) -> jnp.ndarray:
     h = (jnp.arange(scale, dtype=jnp.float32) - (scale - 1) / 2) / scale
     gy, gx = jnp.meshgrid(h, h, indexing="ij")
-    init = jnp.stack([gy, gx], axis=-1)  # (r, r, 2)
+    init = jnp.stack([gx, gy], axis=-1)  # (r, r, 2), (x, y) order
     init = jnp.tile(init[None, :, :, None, :], (1, 1, 1, groups, 1))  # 1 r r g 2
     # layout must match offset reshape above: (2, g, r, r) flattened
     init = init.transpose(0, 4, 3, 1, 2).reshape(1, 1, 1, -1)

@@ -35,7 +35,9 @@ class RealPLKBlock(nn.Module):
             x = EA(self.dim, dtype=self.dtype)(x)
         x = Conv2d(self.dim, 1, padding=0, dtype=self.dtype,
                    kernel_init=trunc_normal_init())(x)
-        x = nn.GroupNorm(num_groups=self.norm_groups, dtype=self.dtype)(x)
+        # epsilon matches torch GroupNorm (1e-5) for checkpoint parity
+        x = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
+                         dtype=self.dtype)(x)
         return x + skip
 
 

@@ -62,6 +62,8 @@ def build_parser(root_path: str | Path) -> argparse.ArgumentParser:
     group.add_argument("--input", type=str, required=False, help="Input checkpoint path.")
     group.add_argument("-onnx", "--onnx", action="store_true", default=False)
     group.add_argument("-safetensor", "--safetensor", action="store_true", default=False)
+    group.add_argument("-pth", "--pth", action="store_true", default=False,
+                       help="Export a reference-layout torch .pth (ecosystem interop).")
     group.add_argument("-net", "--network", type=str, required=False)
     group.add_argument("-s", "--scale", type=int, default=4)
     group.add_argument("-window", "--window", type=int, default=None)

@@ -125,17 +125,144 @@ def convert_span(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+def _dysample(out: dict, scope: str, sd: dict, torch_prefix: str, used: set) -> None:
+    """DySample (reference arch_util.py:30-115): offset conv, bias-free
+    scope conv, optional 1x1 end_conv; the init_pos buffer is derived."""
+    _put_conv(out, f"{scope}.Conv2d_0", sd, f"{torch_prefix}.offset", used)
+    _put_conv(out, f"{scope}.Conv2d_1", sd, f"{torch_prefix}.scope", used)
+    if f"{torch_prefix}.end_conv.weight" in sd:
+        _put_conv(out, f"{scope}.Conv2d_2", sd, f"{torch_prefix}.end_conv", used)
+    used.add(f"{torch_prefix}.init_pos")
+
+
+def _plk_block(out: dict, scope: str, sd: dict, tp: str, used: set,
+               mixer_names: tuple[str, str]) -> None:
+    """One PLKBlock / RealPLKBlock (reference plksr_arch.py:280-346,
+    realplksr_arch.py:56-100). `mixer_names` = (torch attr, our module name)
+    — plksr spells it `channe_mixer` (sic), realplksr `channel_mixer`."""
+    t_mix, o_mix = mixer_names
+    _put_conv(out, f"{scope}.{o_mix}.Conv2d_0", sd, f"{tp}.{t_mix}.0", used)
+    _put_conv(out, f"{scope}.{o_mix}.Conv2d_1", sd, f"{tp}.{t_mix}.2", used)
+    if f"{tp}.lk.conv.weight" in sd:
+        _put_conv(out, f"{scope}.PLKConv_0.Conv2d_0", sd, f"{tp}.lk.conv", used)
+    elif f"{tp}.lk.mn_conv.weight" in sd:
+        for i, sub in enumerate(("mn_conv", "nm_conv", "nn_conv")):
+            _put_conv(out, f"{scope}.RectSparsePLKConv_0.Conv2d_{i}", sd,
+                      f"{tp}.lk.{sub}", used)
+    else:
+        msg = f"unsupported lk variant in {tp} (SparsePLK import not implemented)"
+        raise ValueError(msg)
+    if f"{tp}.attn.f.0.weight" in sd:
+        _put_conv(out, f"{scope}.EA_0.Conv2d_0", sd, f"{tp}.attn.f.0", used)
+    _put_conv(out, f"{scope}.Conv2d_0", sd, f"{tp}.refine", used)
+    if f"{tp}.norm.weight" in sd:  # realplksr GroupNorm
+        out[f"{scope}.GroupNorm_0.scale"] = sd[f"{tp}.norm.weight"]
+        out[f"{scope}.GroupNorm_0.bias"] = sd[f"{tp}.norm.bias"]
+        used.update((f"{tp}.norm.weight", f"{tp}.norm.bias"))
+
+
+def _ccm_module_name(sd: dict, tp: str, t_mix: str) -> str:
+    """Infer CCM/ICCM/DCCM from kernel sizes: 3x3+1x1=CCM, 1x1+3x3=ICCM,
+    3x3+3x3=DCCM (reference plksr_arch.py:24-58)."""
+    k0 = sd[f"{tp}.{t_mix}.0.weight"].shape[-1]
+    k2 = sd[f"{tp}.{t_mix}.2.weight"].shape[-1]
+    if k0 == 3 and k2 == 3:
+        return "DCCM_0"
+    return "CCM_0" if k0 == 3 else "ICCM_0"
+
+
+def _convert_plksr_family(
+    sd: dict[str, np.ndarray], mixer_attr: str, block_cls: str
+) -> dict[str, np.ndarray]:
+    """feats.0 head conv, feats.1..N blocks, last plain conv is the tail;
+    realplksr additionally has Dropout2d (no params) and optional DySample."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+    block_idx = {}
+    plain = []
+    for key in sd:
+        m = re.match(r"feats\.(\d+)\.", key)
+        if not m:
+            continue
+        i = int(m.group(1))
+        if re.fullmatch(rf"feats\.{i}\.(weight|bias)", key):
+            if i not in plain:
+                plain.append(i)
+        else:
+            block_idx[i] = True
+    for n, i in enumerate(sorted(block_idx)):
+        tp = f"feats.{i}"
+        scope = f"{block_cls}_{n}"
+        o_mix = _ccm_module_name(sd, tp, mixer_attr)
+        _plk_block(out, scope, sd, tp, used, (mixer_attr, o_mix))
+    for our, i in zip(("Conv2d_0", "Conv2d_1"), sorted(plain)):
+        _put_conv(out, our, sd, f"feats.{i}", used)
+    if "to_img.offset.weight" in sd:
+        _dysample(out, "DySample_0", sd, "to_img", used)
+    return out
+
+
+def convert_plksr(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    return _convert_plksr_family(sd, "channe_mixer", "PLKBlock")
+
+
+def convert_realplksr(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    return _convert_plksr_family(sd, "channel_mixer", "RealPLKBlock")
+
+
+def convert_spanplus(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """feats.0 Conv3XC stem + feats.{i} SPABS stages; upsampler is DySample
+    ('dys'), conv+PixelShuffle ('ps'), or plain conv ('conv', 1x)
+    (reference spanplus_arch.py:196-222)."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+    _conv3xc(out, "Conv3XC_0", sd, "feats.0", used)
+    stages = sorted({
+        int(m.group(1))
+        for key in sd
+        if (m := re.match(r"feats\.([1-9]\d*)\.", key))
+    })
+    def spab(scope: str, tp: str) -> None:
+        for j in range(3):
+            _conv3xc(out, f"{scope}.Conv3XC_{j}", sd, f"{tp}.c{j + 1}_r", used)
+
+    for n, i in enumerate(stages):
+        tp, scope = f"feats.{i}", f"SPABS_{n}"
+        spab(f"{scope}.SPABPlus_0", f"{tp}.block_1")
+        inner = sorted({
+            int(m.group(1))
+            for key in sd
+            if (m := re.match(rf"feats\.{i}\.block_n\.(\d+)\.", key))
+        })
+        for j in inner:
+            spab(f"{scope}.SPABPlus_{j + 1}", f"{tp}.block_n.{j}")
+        spab(f"{scope}.SPABPlus_{len(inner) + 1}", f"{tp}.block_end")
+        _conv3xc(out, f"{scope}.Conv3XC_0", sd, f"{tp}.conv_2", used)
+        _put_conv(out, f"{scope}.Conv2d_0", sd, f"{tp}.conv_cat", used)
+    if "upsampler.offset.weight" in sd:
+        _dysample(out, "DySample_0", sd, "upsampler", used)
+    elif "upsampler.0.weight" in sd:
+        _put_conv(out, "Conv2d_0", sd, "upsampler.0", used)
+    elif "upsampler.weight" in sd:
+        _put_conv(out, "Conv2d_0", sd, "upsampler", used)
+    return out
+
+
 CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "compact": convert_compact,
     "esrgan": convert_esrgan,
     "span": convert_span,
+    "plksr": convert_plksr,
+    "realplksr": convert_realplksr,
+    "spanplus": convert_spanplus,
 }
 
 
 def family(arch_type: str) -> str | None:
-    """Map a registered preset name to its converter family."""
-    for fam in CONVERTERS:
-        if arch_type == fam:
+    """Map a registered preset name (e.g. plksr_tiny, spanplus_sts) to its
+    converter family; longest match wins (spanplus_* is not span_*)."""
+    for fam in sorted(CONVERTERS, key=len, reverse=True):
+        if arch_type == fam or arch_type.startswith(fam + "_"):
             return fam
     return None
 
@@ -153,6 +280,145 @@ def convert_state_dict(sd: dict[str, Any], arch_type: str) -> dict[str, Any]:
     sd_np = {k: np.asarray(v) for k, v in sd.items()}
     flat = CONVERTERS[fam](sd_np)
     return unflatten_params(flat)
+
+
+# --------------------------------------------------------------- export
+# Inverse direction: our flax params -> reference torch key layout, so
+# models trained here load into the existing ecosystem (chaiNNer/spandrel
+# read these layouts; reference load format base.py:385-394).
+
+
+def _ik(w: np.ndarray) -> np.ndarray:
+    """Conv kernel HWIO (flax) -> OIHW (torch)."""
+    return np.ascontiguousarray(np.transpose(w, (3, 2, 0, 1)))
+
+
+def _get_conv(flat: dict, scope: str, out: dict, torch_prefix: str) -> None:
+    out[f"{torch_prefix}.weight"] = _ik(flat[f"{scope}.Conv_0.kernel"])
+    bias = flat.get(f"{scope}.Conv_0.bias")
+    if bias is not None:
+        out[f"{torch_prefix}.bias"] = bias
+
+
+def _fuse_conv3xc(flat: dict, scope: str) -> tuple[np.ndarray, np.ndarray]:
+    """Fold sk + 1x1/3x3/1x1 into the single 3x3 the reference derives as
+    eval_conv (span_arch.py:143-179) — exported so strict loads succeed and
+    deploy-path inference needs no conversion step."""
+    k1 = _ik(flat[f"{scope}.Conv2d_1.Conv_0.kernel"])  # (I2, C, 1, 1)
+    b1 = flat[f"{scope}.Conv2d_1.Conv_0.bias"]
+    k2 = _ik(flat[f"{scope}.Conv2d_2.Conv_0.kernel"])  # (O2, I2, 3, 3)
+    b2 = flat[f"{scope}.Conv2d_2.Conv_0.bias"]
+    k3 = _ik(flat[f"{scope}.Conv2d_3.Conv_0.kernel"])  # (O, O2, 1, 1)
+    b3 = flat[f"{scope}.Conv2d_3.Conv_0.bias"]
+    sk = _ik(flat[f"{scope}.Conv2d_0.Conv_0.kernel"])  # (O, C, 1, 1)
+    sb = flat[f"{scope}.Conv2d_0.Conv_0.bias"]
+
+    k12 = np.einsum("oihw,icxy->ochw", k2, k1)
+    b12 = np.einsum("oihw,i->o", k2, b1) + b2
+    k = np.einsum("poxy,ochw->pchw", k3, k12)
+    b = np.einsum("poxy,o->p", k3, b12).reshape(-1) + b3
+    k[:, :, 1:2, 1:2] += sk
+    b = b + sb
+    return k.astype(np.float32), b.astype(np.float32)
+
+
+def _export_conv3xc(flat: dict, scope: str, out: dict, tp: str) -> None:
+    for o_sub, t_sub in (
+        ("Conv2d_0", "sk"),
+        ("Conv2d_1", "conv.0"),
+        ("Conv2d_2", "conv.1"),
+        ("Conv2d_3", "conv.2"),
+    ):
+        _get_conv(flat, f"{scope}.{o_sub}", out, f"{tp}.{t_sub}")
+    k, b = _fuse_conv3xc(flat, scope)
+    out[f"{tp}.eval_conv.weight"] = k
+    out[f"{tp}.eval_conv.bias"] = b
+
+
+def export_compact(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for key, val in flat.items():
+        m = re.match(r"Conv2d_(\d+)\.Conv_0\.(kernel|bias)", key)
+        if m:
+            i, kind = int(m.group(1)), m.group(2)
+            name = "weight" if kind == "kernel" else "bias"
+            out[f"body.{2 * i}.{name}"] = _ik(val) if kind == "kernel" else val
+            continue
+        m = re.match(r"PReLU_(\d+)\.alpha", key)
+        if m:
+            out[f"body.{2 * int(m.group(1)) + 1}.weight"] = val
+    return out
+
+
+def export_esrgan(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    inv_top = {v: k for k, v in _ESRGAN_TOP.items()}
+    for scope in {k.rsplit(".Conv_0.", 1)[0] for k in flat if ".Conv_0." in k}:
+        m = re.fullmatch(r"RRDB_(\d+)\.ResidualDenseBlock_(\d)\.Conv2d_(\d)", scope)
+        if m:
+            i, j, k = (int(g) for g in m.groups())
+            _get_conv(flat, scope, out, f"body.{i}.rdb{j + 1}.conv{k + 1}")
+        elif scope in inv_top:
+            _get_conv(flat, scope, out, inv_top[scope])
+    return out
+
+
+def export_span(flat: dict[str, np.ndarray], norm: bool = False,
+                **_: Any) -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    if not norm:
+        # norm=False registers a `no_norm` marker buffer (span_arch.py:248-252)
+        out["no_norm"] = np.zeros(1, np.float32)
+    _export_conv3xc(flat, "Conv3XC_0", out, "conv_1")
+    for i in range(1, 7):
+        for j in range(1, 4):
+            _export_conv3xc(flat, f"SPAB_{i - 1}.Conv3XC_{j - 1}", out,
+                            f"block_{i}.c{j}_r")
+    _export_conv3xc(flat, "Conv3XC_1", out, "conv_2")
+    _get_conv(flat, "Conv2d_0", out, "conv_cat")
+    _get_conv(flat, "Conv2d_1", out, "upsampler.0")
+    return out
+
+
+EXPORTERS: dict[str, Callable[[dict], dict]] = {
+    "compact": export_compact,
+    "esrgan": export_esrgan,
+    "span": export_span,
+}
+
+
+def to_torch_state_dict(
+    params: dict[str, Any], arch_type: str, **arch_opts: Any
+) -> dict[str, np.ndarray]:
+    """Our nested flax param tree -> reference-layout flat state_dict.
+    `arch_opts` carries flags that shape the torch buffer set (e.g. span's
+    norm -> no_norm marker)."""
+    from neosr_tpu.utils.checkpoint import flatten_params
+
+    fam = family(arch_type)
+    if fam is None or fam not in EXPORTERS:
+        supported = ", ".join(sorted(EXPORTERS))
+        msg = (
+            f"No torch-layout exporter for arch '{arch_type}' "
+            f"(supported: {supported}). Use safetensors/StableHLO export."
+        )
+        raise ValueError(msg)
+    flat = {k: np.asarray(v, np.float32) for k, v in flatten_params(params).items()}
+    if fam == "span":
+        return export_span(flat, norm=bool(arch_opts.get("norm", False)))
+    return EXPORTERS[fam](flat)
+
+
+def save_torch_checkpoint(
+    path: str | Path, params: dict[str, Any], arch_type: str, **arch_opts: Any
+) -> None:
+    """Write a reference-compatible .pth ({'params': state_dict})."""
+    import torch
+
+    # copy: exported arrays may be read-only views, torch wants writable
+    sd = {k: torch.from_numpy(np.array(v, copy=True))
+          for k, v in to_torch_state_dict(params, arch_type, **arch_opts).items()}
+    torch.save({"params": sd}, str(path))
 
 
 def load_torch_checkpoint(

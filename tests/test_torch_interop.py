@@ -38,9 +38,18 @@ def _load_ref_arch(name: str):
 
         registry_mod.ARCH_REGISTRY = _FakeRegistry()
         sys.modules["neosr.utils.registry"] = registry_mod
-        arch_util = types.ModuleType("neosr.archs.arch_util")
-        arch_util.net_opt = lambda: (4, True)
-        sys.modules["neosr.archs.arch_util"] = arch_util
+        # net_opt() parses CLI options at import time (arch_util.py:12-27);
+        # stub the options module so the real arch_util (DySample, etc.)
+        # loads cleanly with scale 4 / training true
+        options_mod = types.ModuleType("neosr.utils.options")
+        options_mod.parse_options = lambda root, is_train=True: (
+            {"scale": 4, "datasets": {"train": {}}},
+            types.SimpleNamespace(input=None),
+        )
+        sys.modules["neosr.utils.options"] = options_mod
+
+    if name != "arch_util" and "neosr.archs.arch_util" not in sys.modules:
+        _load_ref_arch("arch_util")
 
     full = f"neosr.archs.{name}"
     if full in sys.modules:
@@ -73,6 +82,19 @@ def _compare(torch_model, our_type, our_kwargs, sd, x_nhwc, atol=2e-5):
 @pytest.fixture()
 def x():
     return np.random.default_rng(0).random((1, 16, 16, 3)).astype(np.float32)
+
+
+@pytest.fixture()
+def cpu_pinmem(monkeypatch):
+    """Reference DySample calls torch.tensor(..., pin_memory=True)
+    (arch_util.py:92), which needs CUDA; strip it on the CPU-only build."""
+    real = torch.tensor
+
+    def no_pin(*args, **kwargs):
+        kwargs.pop("pin_memory", None)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(torch, "tensor", no_pin)
 
 
 def test_compact_pth_import(x):
@@ -133,3 +155,107 @@ def test_wrapped_checkpoint_roundtrip(tmp_path, x):
 def test_unsupported_arch_raises():
     with pytest.raises(ValueError, match="No torch-checkpoint converter"):
         convert_state_dict({}, "swinir_small")
+
+
+def _roundtrip(arch_file, torch_cls, our_type, our_kwargs, torch_kwargs, x,
+               atol=2e-5, eval_mode=True):
+    """Our random params -> torch-layout export -> strict torch load ->
+    forward parity. Proves models trained here deploy into the ecosystem."""
+    from neosr_tpu.utils.torch_interop import to_torch_state_dict
+
+    net = build_network({"type": our_type, **our_kwargs}, scale=4)
+    params = jax.jit(net.init)(jax.random.key(1), jnp.asarray(x))["params"]
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in to_torch_state_dict(params, our_type).items()}
+
+    mod = _load_ref_arch(arch_file)
+    m = getattr(mod, torch_cls)(**torch_kwargs)
+    m.load_state_dict(sd, strict=True)
+    m = m.eval() if eval_mode else m.train()
+    ours = jax.jit(lambda p, xx: net.apply({"params": p}, xx))(params, jnp.asarray(x))
+    with torch.no_grad():
+        theirs = m(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy().transpose(0, 2, 3, 1), atol=atol, rtol=1e-4
+    )
+
+
+def test_compact_pth_export_roundtrip(x):
+    _roundtrip("compact_arch", "compact", "compact",
+               {"num_feat": 24, "num_conv": 4},
+               {"num_feat": 24, "num_conv": 4}, x)
+
+
+def test_esrgan_pth_export_roundtrip(x):
+    _roundtrip("esrgan_arch", "esrgan", "esrgan",
+               {"num_feat": 32, "num_block": 3, "num_grow_ch": 16},
+               {"num_feat": 32, "num_block": 3, "num_grow_ch": 16}, x)
+
+
+def test_span_pth_export_roundtrip(x):
+    # eval mode exercises the exported eval_conv fusion (span_arch.py:143-179)
+    _roundtrip("span_arch", "span", "span",
+               {"feature_channels": 32, "norm": False},
+               {"num_in_ch": 3, "num_out_ch": 3, "feature_channels": 32,
+                "norm": False}, x, atol=1e-4)
+
+
+def test_plksr_pth_import(x):
+    mod = _load_ref_arch("plksr_arch")
+    m = mod.plksr(dim=32, n_blocks=2, kernel_size=13).train()
+    _compare(
+        m, "plksr", {"dim": 32, "n_blocks": 2, "kernel_size": 13},
+        _state_dict_np(m), x,
+    )
+
+
+def test_plksr_tiny_rect_sparse_import(x):
+    mod = _load_ref_arch("plksr_arch")
+    # kernel 9 -> rect kernels (9,3)/(3,9)/(3,3): k//3 must be odd for the
+    # reference's same-padding to line up (k=13 -> n=4 breaks torch too)
+    m = mod.plksr(
+        dim=32, n_blocks=2, kernel_size=9, lk_type="RectSparsePLK", use_ea=False
+    ).train()
+    _compare(
+        m, "plksr",
+        {"dim": 32, "n_blocks": 2, "kernel_size": 9,
+         "lk_type": "RectSparsePLK", "use_ea": False},
+        _state_dict_np(m), x,
+    )
+
+
+def test_realplksr_pth_import(x):
+    mod = _load_ref_arch("realplksr_arch")
+    m = mod.realplksr(dim=32, n_blocks=2, kernel_size=13, norm_groups=4).train()
+    _compare(
+        m, "realplksr", {"dim": 32, "n_blocks": 2, "kernel_size": 13},
+        _state_dict_np(m), x,
+    )
+
+
+def test_realplksr_dysample_import(x, cpu_pinmem):
+    mod = _load_ref_arch("realplksr_arch")
+    m = mod.realplksr(dim=32, n_blocks=2, kernel_size=13, dysample=True).train()
+    _compare(
+        m, "realplksr", {"dim": 32, "n_blocks": 2, "kernel_size": 13,
+                         "dysample": True},
+        _state_dict_np(m), x, atol=1e-4,
+    )
+
+
+def test_spanplus_ps_import(x):
+    mod = _load_ref_arch("spanplus_arch")
+    m = mod.spanplus(blocks=[2], feature_channels=32, upsampler="ps").train()
+    _compare(
+        m, "spanplus", {"blocks": (2,), "feature_channels": 32, "upsampler": "ps"},
+        _state_dict_np(m), x,
+    )
+
+
+def test_spanplus_dys_import(x, cpu_pinmem):
+    mod = _load_ref_arch("spanplus_arch")
+    m = mod.spanplus(blocks=[2], feature_channels=32, upsampler="dys").train()
+    _compare(
+        m, "spanplus", {"blocks": (2,), "feature_channels": 32, "upsampler": "dys"},
+        _state_dict_np(m), x, atol=1e-4,
+    )
