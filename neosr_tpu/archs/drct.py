@@ -100,7 +100,7 @@ class drct(nn.Module):
         h = Conv2d(self.embed_dim, 3, dtype=self.dtype)(h) + feat
 
         if self.upsampler == "pixelshuffle":
-            h = lrelu(Conv2d(num_feat, 3, dtype=self.dtype)(h))
+            h = lrelu(Conv2d(num_feat, 3, dtype=self.dtype)(h), slope=0.01)  # torch default slope (conv_before_upsample)
             h = Upsample(self.upscale, num_feat, dtype=self.dtype)(h)
             out = Conv2d(self.in_chans, 3, dtype=self.dtype)(h)
         else:

@@ -128,14 +128,16 @@ class swinir(nn.Module):
 
         # reconstruction
         if self.upsampler == "pixelshuffle":
-            h = lrelu(Conv2d(num_feat, 3, dtype=self.dtype)(h))
+            # conv_before_upsample uses torch's default LeakyReLU slope 0.01
+            # (reference swinir_arch.py:979), unlike the 0.2 used elsewhere
+            h = lrelu(Conv2d(num_feat, 3, dtype=self.dtype)(h), slope=0.01)
             h = Upsample(self.upscale, num_feat, dtype=self.dtype)(h)
             out = Conv2d(self.in_chans, 3, dtype=self.dtype)(h)
         elif self.upsampler == "pixelshuffledirect":
             h = Conv2d(self.in_chans * self.upscale**2, 3, dtype=self.dtype)(h)
             out = pixel_shuffle(h, self.upscale)
         elif self.upsampler == "nearest+conv":
-            h = lrelu(Conv2d(num_feat, 3, dtype=self.dtype)(h))
+            h = lrelu(Conv2d(num_feat, 3, dtype=self.dtype)(h), slope=0.01)
             h = lrelu(Conv2d(num_feat, 3, dtype=self.dtype)(nearest_upsample(h, 2)))
             h = lrelu(Conv2d(num_feat, 3, dtype=self.dtype)(nearest_upsample(h, 2)))
             h = lrelu(Conv2d(num_feat, 3, dtype=self.dtype)(h))

@@ -248,6 +248,166 @@ def convert_spanplus(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+def _put_dense(out: dict, scope: str, sd: dict, tp: str, used: set) -> None:
+    """torch Linear (out,in) -> flax Dense kernel (in,out)."""
+    out[f"{scope}.kernel"] = np.ascontiguousarray(sd[f"{tp}.weight"].T)
+    used.add(f"{tp}.weight")
+    bias = sd.get(f"{tp}.bias")
+    if bias is not None:
+        out[f"{scope}.bias"] = bias
+        used.add(f"{tp}.bias")
+
+
+def _put_ln(out: dict, scope: str, sd: dict, tp: str, used: set) -> None:
+    out[f"{scope}.scale"] = sd[f"{tp}.weight"]
+    out[f"{scope}.bias"] = sd[f"{tp}.bias"]
+    used.update((f"{tp}.weight", f"{tp}.bias"))
+
+
+def convert_swinir(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """SwinIR (reference swinir_arch.py): layers.{i}.residual_group.blocks.{j}
+    -> RSTB_{i}.SwinBlock_{j}; derived buffers (relative_position_index,
+    attn_mask) are skipped. Handles the three registered upsampler variants:
+    pixelshuffledirect (small), pixelshuffle (medium), nearest+conv (large,
+    with 3conv residual blocks)."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+
+    _put_conv(out, "Conv2d_0", sd, "conv_first", used)
+    if "patch_embed.norm.weight" in sd:
+        _put_ln(out, "LayerNorm_0", sd, "patch_embed.norm", used)
+
+    blocks: dict[tuple[int, int], bool] = {}
+    layer_convs: dict[int, list[int | None]] = {}
+    for key in sd:
+        m = re.match(r"layers\.(\d+)\.residual_group\.blocks\.(\d+)\.", key)
+        if m:
+            blocks[(int(m.group(1)), int(m.group(2)))] = True
+        m = re.match(r"layers\.(\d+)\.conv\.(?:(\d+)\.)?weight$", key)
+        if m:
+            i = int(m.group(1))
+            layer_convs.setdefault(i, []).append(
+                int(m.group(2)) if m.group(2) else None
+            )
+    for (i, j) in blocks:
+        tp = f"layers.{i}.residual_group.blocks.{j}"
+        scope = f"RSTB_{i}.SwinBlock_{j}"
+        _put_ln(out, f"{scope}.LayerNorm_0", sd, f"{tp}.norm1", used)
+        _put_ln(out, f"{scope}.LayerNorm_1", sd, f"{tp}.norm2", used)
+        attn = f"{scope}.WindowAttention_0"
+        _put_dense(out, f"{attn}.Dense_0", sd, f"{tp}.attn.qkv", used)
+        _put_dense(out, f"{attn}.Dense_1", sd, f"{tp}.attn.proj", used)
+        out[f"{attn}.relative_position_bias_table"] = sd[
+            f"{tp}.attn.relative_position_bias_table"
+        ]
+        _put_dense(out, f"{scope}.Mlp_0.Dense_0", sd, f"{tp}.mlp.fc1", used)
+        _put_dense(out, f"{scope}.Mlp_0.Dense_1", sd, f"{tp}.mlp.fc2", used)
+    for i, subs in layer_convs.items():
+        if subs == [None]:  # 1conv residual
+            _put_conv(out, f"RSTB_{i}.Conv2d_0", sd, f"layers.{i}.conv", used)
+        else:  # 3conv residual (conv.0 / conv.2 / conv.4)
+            for n, s in enumerate(sorted(x for x in subs if x is not None)):
+                _put_conv(out, f"RSTB_{i}.Conv2d_{n}", sd, f"layers.{i}.conv.{s}", used)
+
+    _put_ln(out, "LayerNorm_1", sd, "norm", used)
+
+    nc = 1  # next top-level Conv2d index (construction order)
+    if "conv_after_body.weight" in sd:
+        _put_conv(out, f"Conv2d_{nc}", sd, "conv_after_body", used)
+        nc += 1
+    else:  # 3conv body tail (large preset)
+        for s in (0, 2, 4):
+            _put_conv(out, f"Conv2d_{nc}", sd, f"conv_after_body.{s}", used)
+            nc += 1
+
+    if "conv_up1.weight" in sd:  # nearest+conv head
+        _put_conv(out, f"Conv2d_{nc}", sd, "conv_before_upsample.0", used)
+        for tp in ("conv_up1", "conv_up2", "conv_hr", "conv_last"):
+            nc += 1
+            _put_conv(out, f"Conv2d_{nc}", sd, tp, used)
+    elif "conv_before_upsample.0.weight" in sd:  # pixelshuffle head
+        _put_conv(out, f"Conv2d_{nc}", sd, "conv_before_upsample.0", used)
+        ups = sorted(
+            int(m.group(1))
+            for key in sd
+            if (m := re.fullmatch(r"upsample\.(\d+)\.weight", key))
+        )
+        for n, s in enumerate(ups):
+            _put_conv(out, f"Upsample_0.Conv2d_{n}", sd, f"upsample.{s}", used)
+        _put_conv(out, f"Conv2d_{nc + 1}", sd, "conv_last", used)
+    else:  # pixelshuffledirect head
+        _put_conv(out, f"Conv2d_{nc}", sd, "upsample.0", used)
+    return out
+
+
+def convert_hat(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """HAT (reference hat_arch.py): swin skeleton + CAB channel-attention
+    conv blocks per HAB and one OCAB (overlapping cross-attention) per
+    group; pixelshuffle head only (hat_arch.py:998-1008)."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+
+    _put_conv(out, "Conv2d_0", sd, "conv_first", used)
+    if "patch_embed.norm.weight" in sd:
+        _put_ln(out, "LayerNorm_0", sd, "patch_embed.norm", used)
+
+    def attn_block(scope: str, tp: str) -> None:
+        _put_ln(out, f"{scope}.LayerNorm_0", sd, f"{tp}.norm1", used)
+        _put_ln(out, f"{scope}.LayerNorm_1", sd, f"{tp}.norm2", used)
+        _put_dense(out, f"{scope}.Mlp_0.Dense_0", sd, f"{tp}.mlp.fc1", used)
+        _put_dense(out, f"{scope}.Mlp_0.Dense_1", sd, f"{tp}.mlp.fc2", used)
+
+    for key in list(sd):
+        m = re.match(r"layers\.(\d+)\.residual_group\.blocks\.(\d+)\.norm1\.weight$", key)
+        if m:
+            i, j = int(m.group(1)), int(m.group(2))
+            tp = f"layers.{i}.residual_group.blocks.{j}"
+            scope = f"RHAG_{i}.HAB_{j}"
+            attn_block(scope, tp)
+            wa = f"{scope}.WindowAttention_0"
+            _put_dense(out, f"{wa}.Dense_0", sd, f"{tp}.attn.qkv", used)
+            _put_dense(out, f"{wa}.Dense_1", sd, f"{tp}.attn.proj", used)
+            out[f"{wa}.relative_position_bias_table"] = sd[
+                f"{tp}.attn.relative_position_bias_table"
+            ]
+            cab = f"{scope}.CAB_0"
+            _put_conv(out, f"{cab}.Conv2d_0", sd, f"{tp}.conv_block.cab.0", used)
+            _put_conv(out, f"{cab}.Conv2d_1", sd, f"{tp}.conv_block.cab.2", used)
+            ca = f"{cab}.ChannelAttention_0"
+            _put_conv(out, f"{ca}.Conv2d_0", sd, f"{tp}.conv_block.cab.3.attention.1", used)
+            _put_conv(out, f"{ca}.Conv2d_1", sd, f"{tp}.conv_block.cab.3.attention.3", used)
+            continue
+        m = re.match(r"layers\.(\d+)\.residual_group\.overlap_attn\.norm1\.weight$", key)
+        if m:
+            i = int(m.group(1))
+            tp = f"layers.{i}.residual_group.overlap_attn"
+            scope = f"RHAG_{i}.OCAB_0"
+            attn_block(scope, tp)
+            _put_dense(out, f"{scope}.Dense_0", sd, f"{tp}.qkv", used)
+            _put_dense(out, f"{scope}.Dense_1", sd, f"{tp}.proj", used)
+            out[f"{scope}.relative_position_bias_table"] = sd[
+                f"{tp}.relative_position_bias_table"
+            ]
+            continue
+        m = re.fullmatch(r"layers\.(\d+)\.conv\.weight", key)
+        if m:
+            _put_conv(out, f"RHAG_{m.group(1)}.Conv2d_0", sd,
+                      f"layers.{m.group(1)}.conv", used)
+
+    _put_ln(out, "LayerNorm_1", sd, "norm", used)
+    _put_conv(out, "Conv2d_1", sd, "conv_after_body", used)
+    _put_conv(out, "Conv2d_2", sd, "conv_before_upsample.0", used)
+    ups = sorted(
+        int(m.group(1))
+        for key in sd
+        if (m := re.fullmatch(r"upsample\.(\d+)\.weight", key))
+    )
+    for n, s in enumerate(ups):
+        _put_conv(out, f"Upsample_0.Conv2d_{n}", sd, f"upsample.{s}", used)
+    _put_conv(out, "Conv2d_3", sd, "conv_last", used)
+    return out
+
+
 CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "compact": convert_compact,
     "esrgan": convert_esrgan,
@@ -255,6 +415,8 @@ CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "plksr": convert_plksr,
     "realplksr": convert_realplksr,
     "spanplus": convert_spanplus,
+    "swinir": convert_swinir,
+    "hat": convert_hat,
 }
 
 

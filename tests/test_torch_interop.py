@@ -152,9 +152,69 @@ def test_wrapped_checkpoint_roundtrip(tmp_path, x):
     assert PARAM_KEYS[0] == "params-ema"
 
 
+def test_swinir_pth_import(x):
+    mod = _load_ref_arch("swinir_arch")
+    m = mod.swinir(
+        embed_dim=24, depths=(2, 2), num_heads=(3, 3), window_size=8,
+        mlp_ratio=2, upsampler="pixelshuffledirect", img_size=16, upscale=4,
+    ).eval()
+    _compare(
+        m, "swinir",
+        {"embed_dim": 24, "depths": (2, 2), "num_heads": (3, 3),
+         "window_size": 8, "mlp_ratio": 2, "upsampler": "pixelshuffledirect"},
+        _state_dict_np(m), x, atol=1e-4,
+    )
+
+
+def test_swinir_pixelshuffle_import(x):
+    mod = _load_ref_arch("swinir_arch")
+    m = mod.swinir(
+        embed_dim=24, depths=(2, 2), num_heads=(3, 3), window_size=8,
+        mlp_ratio=2, upsampler="pixelshuffle", img_size=16, upscale=4,
+    ).eval()
+    _compare(
+        m, "swinir",
+        {"embed_dim": 24, "depths": (2, 2), "num_heads": (3, 3),
+         "window_size": 8, "mlp_ratio": 2, "upsampler": "pixelshuffle"},
+        _state_dict_np(m), x, atol=1e-4,
+    )
+
+
+def test_swinir_nearestconv_3conv_import(x):
+    mod = _load_ref_arch("swinir_arch")
+    m = mod.swinir(
+        embed_dim=24, depths=(2, 2), num_heads=(3, 3), window_size=8,
+        mlp_ratio=2, upsampler="nearest+conv", resi_connection="3conv",
+        img_size=16, upscale=4,
+    ).eval()
+    _compare(
+        m, "swinir",
+        {"embed_dim": 24, "depths": (2, 2), "num_heads": (3, 3),
+         "window_size": 8, "mlp_ratio": 2, "upsampler": "nearest+conv",
+         "resi_connection": "3conv"},
+        _state_dict_np(m), x, atol=1e-4,
+    )
+
+
+def test_hat_pth_import(x):
+    mod = _load_ref_arch("hat_arch")
+    m = mod.hat(
+        embed_dim=24, depths=(2, 2), num_heads=(3, 3), window_size=8,
+        mlp_ratio=2, upsampler="pixelshuffle", img_size=16, upscale=4,
+        compress_ratio=3, squeeze_factor=6, num_feat=16,
+    ).eval()
+    _compare(
+        m, "hat",
+        {"embed_dim": 24, "depths": (2, 2), "num_heads": (3, 3),
+         "window_size": 8, "mlp_ratio": 2, "compress_ratio": 3,
+         "squeeze_factor": 6},
+        _state_dict_np(m), x, atol=1e-4,
+    )
+
+
 def test_unsupported_arch_raises():
     with pytest.raises(ValueError, match="No torch-checkpoint converter"):
-        convert_state_dict({}, "swinir_small")
+        convert_state_dict({}, "dat_m")
 
 
 def _roundtrip(arch_file, torch_cls, our_type, our_kwargs, torch_kwargs, x,
