@@ -15,9 +15,19 @@ import time
 import numpy as np
 
 
+def _sync(model):
+    """Hard synchronization: fetch a loss scalar to the host.  Over the
+    axon tunnel `block_until_ready` returns before remote execution
+    completes (dispatch-queue future), which inflated throughput ~4-20x;
+    a device_get of real bytes cannot complete early."""
+    import jax
+
+    return float(jax.device_get(next(iter(model.log_dict.values()))))
+
+
 def bench_compact_train(
-    batch_per_chip: int = 64, patch: int = 48, scale: int = 4,
-    warmup: int = 3, iters: int = 20,
+    batch_per_chip: int = 512, patch: int = 48, scale: int = 4,
+    warmup: int = 5, iters: int = 50,
 ) -> dict:
     import jax
 
@@ -67,12 +77,12 @@ def bench_compact_train(
 
     for i in range(warmup):
         model.optimize_parameters(i + 1)
-    jax.block_until_ready(model.state.params_g)
+    _sync(model)
 
     t0 = time.perf_counter()
     for i in range(iters):
         model.optimize_parameters(warmup + i + 1)
-    jax.block_until_ready(model.state.params_g)
+    _sync(model)
     dt = time.perf_counter() - t0
 
     patches_per_sec = global_batch * iters / dt
@@ -120,13 +130,17 @@ def bench_otf_degrade(
     sk = jnp.asarray(np.stack([pulse_tensor(21)] * batch))
 
     keys = [jax.random.key(i) for i in range(warmup + iters)]
+    def _sync_out(o):
+        leaf = o[0] if isinstance(o, (tuple, list)) else o
+        return float(jax.device_get(leaf.reshape(-1)[0]))
+
     for i in range(warmup):
         out = fn(gt, k, k, sk, keys[i])
-    jax.block_until_ready(out)
+    _sync_out(out)
     t0 = time.perf_counter()
     for i in range(iters):
         out = fn(gt, k, k, sk, keys[warmup + i])
-    jax.block_until_ready(out)
+    _sync_out(out)
     dt = time.perf_counter() - t0
     mpx = batch * gt_size * gt_size * iters / dt / 1e6
     return {
@@ -179,11 +193,11 @@ def bench_esrgan_otf_train(
     model.feed_data(batch)
     for i in range(warmup):
         model.optimize_parameters(i + 1)
-    jax.block_until_ready(model.state.params_g)
+    _sync(model)
     t0 = time.perf_counter()
     for i in range(iters):
         model.optimize_parameters(warmup + i + 1)
-    jax.block_until_ready(model.state.params_g)
+    _sync(model)
     dt = time.perf_counter() - t0
     return {
         "metric": "esrgan_4x_train_patches_per_sec_per_chip",
@@ -266,13 +280,13 @@ def bench_esrgan_otf_full(
     for i in range(warmup):
         model.feed_data(warm_batches[i])
         model.optimize_parameters(i + 1)
-    jax.block_until_ready(model.state.params_g)
+    _sync(model)
 
     t0 = time.perf_counter()
     for i in range(iters):
         model.feed_data(timed_batches[i])
         model.optimize_parameters(warmup + i + 1)
-    jax.block_until_ready(model.state.params_g)
+    _sync(model)
     dt = time.perf_counter() - t0
     return {
         "metric": "esrgan_otf_full_patches_per_sec_per_chip",

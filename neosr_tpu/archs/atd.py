@@ -83,7 +83,11 @@ class WindowAttentionQKV(nn.Module):
             attn = attn.reshape(b_, self.num_heads, n, n)
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
-        return out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        # output projection (reference atd_arch.py:158,206 — WindowAttention
+        # applies self.proj before returning)
+        return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                        kernel_init=trunc_normal_init())(out)
 
 
 class ATD_CA(nn.Module):
@@ -305,13 +309,15 @@ class atd(nn.Module):
     img_range: float = 1.0
     upsampler: str = "pixelshuffle"
     resi_connection: str = "1conv"
+    norm: bool = False  # rgb-mean normalization is OFF by default (atd_arch.py:938,946-951)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         num_feat = 64
         mean = jnp.asarray((0.5,) * 3, x.dtype) if self.in_chans == 3 else 0.0
-        x = (x - mean) * self.img_range
+        if self.norm:
+            x = (x - mean) * self.img_range
 
         feat = Conv2d(self.embed_dim, 3, dtype=self.dtype)(x)
         h = feat
@@ -336,7 +342,9 @@ class atd(nn.Module):
             out = pixel_shuffle(h, self.upscale)
         else:
             out = Conv2d(self.in_chans, 3, dtype=self.dtype)(h)
-        return out / self.img_range + mean
+        if self.norm:
+            out = out / self.img_range + mean
+        return out
 
 
 @ARCH_REGISTRY.register()

@@ -408,6 +408,82 @@ def convert_hat(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+def convert_atd(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """ATD (reference atd_arch.py): per layer a token dictionary `td`, and
+    per transformer block SW-MSA (shared wqkv), token-dictionary
+    cross-attention (wq/wk/wv + temperature scale), category-sorted AC-MSA
+    (logit_scale + proj), ConvFFN with depthwise conv, and the td refinement
+    (sigma + affine InstanceNorm1d as norm3)."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+
+    _put_conv(out, "Conv2d_0", sd, "conv_first", used)
+    if "patch_embed.norm.weight" in sd:
+        _put_ln(out, "LayerNorm_0", sd, "patch_embed.norm", used)
+
+    for key in list(sd):
+        m = re.fullmatch(r"layers\.(\d+)\.residual_group\.td", key)
+        if m:
+            out[f"ATDB_{m.group(1)}.td"] = sd[key]
+            continue
+        m = re.fullmatch(r"layers\.(\d+)\.conv\.weight", key)
+        if m:
+            _put_conv(out, f"ATDB_{m.group(1)}.Conv2d_0", sd,
+                      f"layers.{m.group(1)}.conv", used)
+            continue
+        m = re.match(r"layers\.(\d+)\.residual_group\.layers\.(\d+)\.norm1\.weight$", key)
+        if not m:
+            continue
+        i, j = int(m.group(1)), int(m.group(2))
+        tp = f"layers.{i}.residual_group.layers.{j}"
+        scope = f"ATDB_{i}.ATDTransformerLayer_{j}"
+        _put_ln(out, f"{scope}.LayerNorm_0", sd, f"{tp}.norm1", used)
+        _put_ln(out, f"{scope}.LayerNorm_1", sd, f"{tp}.norm2", used)
+        _put_dense(out, f"{scope}.Dense_0", sd, f"{tp}.wqkv", used)
+        wa = f"{scope}.WindowAttentionQKV_0"
+        out[f"{wa}.relative_position_bias_table"] = sd[
+            f"{tp}.attn_win.relative_position_bias_table"
+        ]
+        _put_dense(out, f"{wa}.Dense_0", sd, f"{tp}.attn_win.proj", used)
+        ca = f"{scope}.ATD_CA_0"
+        _put_dense(out, f"{ca}.Dense_0", sd, f"{tp}.attn_atd.wq", used)
+        _put_dense(out, f"{ca}.Dense_1", sd, f"{tp}.attn_atd.wk", used)
+        _put_dense(out, f"{ca}.Dense_2", sd, f"{tp}.attn_atd.wv", used)
+        out[f"{ca}.scale"] = sd[f"{tp}.attn_atd.scale"]
+        aca = f"{scope}.AC_MSA_0"
+        _put_dense(out, f"{aca}.Dense_0", sd, f"{tp}.attn_aca.proj", used)
+        out[f"{aca}.logit_scale"] = sd[f"{tp}.attn_aca.logit_scale"]
+        ffn = f"{scope}.ConvFFN_0"
+        _put_dense(out, f"{ffn}.Dense_0", sd, f"{tp}.convffn.fc1", used)
+        _put_dense(out, f"{ffn}.Dense_1", sd, f"{tp}.convffn.fc2", used)
+        out[f"{ffn}.Conv_0.kernel"] = _k(sd[f"{tp}.convffn.dwconv.depthwise_conv.0.weight"])
+        out[f"{ffn}.Conv_0.bias"] = sd[f"{tp}.convffn.dwconv.depthwise_conv.0.bias"]
+        if f"{tp}.sigma" in sd:  # absent on each group's last layer
+            out[f"{scope}.sigma"] = sd[f"{tp}.sigma"]
+            out[f"{scope}.InstanceNorm1dAffine_0.scale"] = sd[
+                f"{tp}.norm3.weight"
+            ].reshape(-1, 1)
+            out[f"{scope}.InstanceNorm1dAffine_0.bias"] = sd[
+                f"{tp}.norm3.bias"
+            ].reshape(-1, 1)
+
+    _put_ln(out, "LayerNorm_1", sd, "norm", used)
+    _put_conv(out, "Conv2d_1", sd, "conv_after_body", used)
+    if "conv_before_upsample.0.weight" in sd:
+        _put_conv(out, "Conv2d_2", sd, "conv_before_upsample.0", used)
+        ups = sorted(
+            int(m.group(1))
+            for key in sd
+            if (m := re.fullmatch(r"upsample\.(\d+)\.weight", key))
+        )
+        for n, s in enumerate(ups):
+            _put_conv(out, f"Upsample_0.Conv2d_{n}", sd, f"upsample.{s}", used)
+        _put_conv(out, "Conv2d_3", sd, "conv_last", used)
+    else:  # pixelshuffledirect (atd_light)
+        _put_conv(out, "Conv2d_2", sd, "upsample.0", used)
+    return out
+
+
 CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "compact": convert_compact,
     "esrgan": convert_esrgan,
@@ -417,6 +493,7 @@ CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "spanplus": convert_spanplus,
     "swinir": convert_swinir,
     "hat": convert_hat,
+    "atd": convert_atd,
 }
 
 

@@ -212,6 +212,45 @@ def test_hat_pth_import(x):
     )
 
 
+def test_atd_pth_import(x):
+    # category_size >= n puts all tokens in one AC-MSA group, removing the
+    # reference's unstable-sort tie ambiguity -> exact parity
+    mod = _load_ref_arch("atd_arch")
+    m = mod.atd(
+        embed_dim=24, depths=(2, 2), num_heads=(3, 3), window_size=8,
+        category_size=256, num_tokens=8, reducted_dim=4, convffn_kernel_size=5,
+        mlp_ratio=1, upsampler="pixelshuffle", img_size=16, upscale=4,
+        num_feat=16,
+    ).eval()
+    _compare(
+        m, "atd",
+        {"embed_dim": 24, "depths": (2, 2), "num_heads": (3, 3),
+         "window_size": 8, "category_size": 256, "num_tokens": 8,
+         "reducted_dim": 4, "convffn_kernel_size": 5, "mlp_ratio": 1},
+        _state_dict_np(m), x, atol=2e-5,
+    )
+
+
+def test_atd_pth_import_grouped(x):
+    # multi-group AC-MSA: torch sorts category ids with stable=False
+    # (atd_arch.py:331), so tie order among equal ids is unspecified; group
+    # membership differs on ties and outputs agree only approximately
+    mod = _load_ref_arch("atd_arch")
+    m = mod.atd(
+        embed_dim=24, depths=(2, 2), num_heads=(3, 3), window_size=8,
+        category_size=16, num_tokens=8, reducted_dim=4, convffn_kernel_size=5,
+        mlp_ratio=1, upsampler="pixelshuffle", img_size=16, upscale=4,
+        num_feat=16,
+    ).eval()
+    _compare(
+        m, "atd",
+        {"embed_dim": 24, "depths": (2, 2), "num_heads": (3, 3),
+         "window_size": 8, "category_size": 16, "num_tokens": 8,
+         "reducted_dim": 4, "convffn_kernel_size": 5, "mlp_ratio": 1},
+        _state_dict_np(m), x, atol=2e-3,
+    )
+
+
 def test_unsupported_arch_raises():
     with pytest.raises(ValueError, match="No torch-checkpoint converter"):
         convert_state_dict({}, "dat_m")
