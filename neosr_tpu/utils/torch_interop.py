@@ -619,10 +619,86 @@ def export_span(flat: dict[str, np.ndarray], norm: bool = False,
     return out
 
 
+def _get_dense(flat: dict, scope: str, out: dict, tp: str) -> None:
+    out[f"{tp}.weight"] = np.ascontiguousarray(flat[f"{scope}.kernel"].T)
+    bias = flat.get(f"{scope}.bias")
+    if bias is not None:
+        out[f"{tp}.bias"] = bias
+
+
+def _get_ln(flat: dict, scope: str, out: dict, tp: str) -> None:
+    out[f"{tp}.weight"] = flat[f"{scope}.scale"]
+    out[f"{tp}.bias"] = flat[f"{scope}.bias"]
+
+
+def export_swinir(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_swinir.  Derived torch buffers
+    (relative_position_index, attn_mask) are NOT emitted — the torch model
+    computes them in __init__, so a strict=False load is complete."""
+    out: dict[str, np.ndarray] = {}
+    _get_conv(flat, "Conv2d_0", out, "conv_first")
+    if "LayerNorm_0.scale" in flat:
+        _get_ln(flat, "LayerNorm_0", out, "patch_embed.norm")
+    _get_ln(flat, "LayerNorm_1", out, "norm")
+
+    for key in flat:
+        m = re.fullmatch(r"RSTB_(\d+)\.SwinBlock_(\d+)\.LayerNorm_0\.scale", key)
+        if m:
+            i, j = m.groups()
+            scope = f"RSTB_{i}.SwinBlock_{j}"
+            tp = f"layers.{i}.residual_group.blocks.{j}"
+            _get_ln(flat, f"{scope}.LayerNorm_0", out, f"{tp}.norm1")
+            _get_ln(flat, f"{scope}.LayerNorm_1", out, f"{tp}.norm2")
+            _get_dense(flat, f"{scope}.WindowAttention_0.Dense_0", out, f"{tp}.attn.qkv")
+            _get_dense(flat, f"{scope}.WindowAttention_0.Dense_1", out, f"{tp}.attn.proj")
+            out[f"{tp}.attn.relative_position_bias_table"] = flat[
+                f"{scope}.WindowAttention_0.relative_position_bias_table"
+            ]
+            _get_dense(flat, f"{scope}.Mlp_0.Dense_0", out, f"{tp}.mlp.fc1")
+            _get_dense(flat, f"{scope}.Mlp_0.Dense_1", out, f"{tp}.mlp.fc2")
+            continue
+        m = re.fullmatch(r"RSTB_(\d+)\.Conv2d_(\d)\.Conv_0\.kernel", key)
+        if m:
+            i, k = m.groups()
+            if f"RSTB_{i}.Conv2d_1.Conv_0.kernel" in flat:  # 3conv residual
+                _get_conv(flat, f"RSTB_{i}.Conv2d_{k}", out,
+                          f"layers.{i}.conv.{2 * int(k)}")
+            else:
+                _get_conv(flat, f"RSTB_{i}.Conv2d_0", out, f"layers.{i}.conv")
+
+    tops = sorted(
+        int(m.group(1))
+        for key in flat
+        if (m := re.fullmatch(r"Conv2d_(\d+)\.Conv_0\.kernel", key))
+    )
+    n_top = len(tops)
+    if "Upsample_0.Conv2d_0.Conv_0.kernel" in flat:  # pixelshuffle head
+        for our, tp in (("Conv2d_1", "conv_after_body"),
+                        ("Conv2d_2", "conv_before_upsample.0"),
+                        ("Conv2d_3", "conv_last")):
+            _get_conv(flat, our, out, tp)
+        k = 0
+        while f"Upsample_0.Conv2d_{k}.Conv_0.kernel" in flat:
+            _get_conv(flat, f"Upsample_0.Conv2d_{k}", out, f"upsample.{2 * k}")
+            k += 1
+    elif n_top >= 9:  # nearest+conv large head (3conv body tail)
+        for n, tp in enumerate((
+            "conv_after_body.0", "conv_after_body.2", "conv_after_body.4",
+            "conv_before_upsample.0", "conv_up1", "conv_up2", "conv_hr",
+            "conv_last",
+        ), start=1):
+            _get_conv(flat, f"Conv2d_{n}", out, tp)
+    else:  # pixelshuffledirect
+        _get_conv(flat, "Conv2d_1", out, "conv_after_body")
+        _get_conv(flat, "Conv2d_2", out, "upsample.0")
+    return out
+
+
 EXPORTERS: dict[str, Callable[[dict], dict]] = {
     "compact": export_compact,
     "esrgan": export_esrgan,
     "span": export_span,
+    "swinir": export_swinir,
 }
 
 

@@ -23,11 +23,15 @@ from neosr_tpu.utils.torch_interop import PARAM_KEYS, convert_state_dict
 def _load_ref_arch(name: str):
     """Load one reference arch file by path, bypassing the package __init__
     (it imports the world and parses sys.argv at import time)."""
-    if "neosr" not in sys.modules:
-        for mod_name in ("neosr", "neosr.utils", "neosr.archs"):
+    # check each stub module individually: other test files (test_losses)
+    # install a partial "neosr" stub first, so keying on the root package
+    # alone would skip the arch-side stubs under pytest's full-suite order
+    for mod_name in ("neosr", "neosr.utils", "neosr.archs"):
+        if mod_name not in sys.modules:
             pkg = types.ModuleType(mod_name)
             pkg.__path__ = []
             sys.modules[mod_name] = pkg
+    if "neosr.utils.registry" not in sys.modules:
         registry_mod = types.ModuleType("neosr.utils.registry")
 
         class _FakeRegistry:
@@ -38,6 +42,10 @@ def _load_ref_arch(name: str):
 
         registry_mod.ARCH_REGISTRY = _FakeRegistry()
         sys.modules["neosr.utils.registry"] = registry_mod
+    if not hasattr(sys.modules["neosr.utils.registry"], "ARCH_REGISTRY"):
+        reg = sys.modules["neosr.utils.registry"]
+        reg.ARCH_REGISTRY = reg.LOSS_REGISTRY  # test_losses' fake registry
+    if "neosr.utils.options" not in sys.modules:
         # net_opt() parses CLI options at import time (arch_util.py:12-27);
         # stub the options module so the real arch_util (DySample, etc.)
         # loads cleanly with scale 4 / training true
@@ -248,6 +256,39 @@ def test_atd_pth_import_grouped(x):
          "window_size": 8, "category_size": 16, "num_tokens": 8,
          "reducted_dim": 4, "convffn_kernel_size": 5, "mlp_ratio": 1},
         _state_dict_np(m), x, atol=2e-3,
+    )
+
+
+@pytest.mark.parametrize("ups,extra", [
+    ("pixelshuffledirect", {}),
+    ("pixelshuffle", {}),
+    ("nearest+conv", {"resi_connection": "3conv"}),
+])
+def test_swinir_pth_export_roundtrip(x, ups, extra):
+    """Our swinir params -> torch layout -> reference model -> same pixels.
+    Derived buffers (attn_mask, relative_position_index) are constructed by
+    the torch model itself, so strict=False with only those missing."""
+    from neosr_tpu.utils.torch_interop import to_torch_state_dict
+
+    kwargs = {"embed_dim": 24, "depths": (2, 2), "num_heads": (3, 3),
+              "window_size": 8, "mlp_ratio": 2, "upsampler": ups, **extra}
+    net = build_network({"type": "swinir", **kwargs}, scale=4)
+    params = jax.jit(net.init)(jax.random.key(1), jnp.asarray(x))["params"]
+    sd = {k: torch.from_numpy(np.array(v, copy=True))
+          for k, v in to_torch_state_dict(params, "swinir").items()}
+
+    mod = _load_ref_arch("swinir_arch")
+    m = mod.swinir(img_size=16, upscale=4, **kwargs)
+    result = m.load_state_dict(sd, strict=False)
+    assert not result.unexpected_keys, result.unexpected_keys
+    allowed = ("attn_mask", "relative_position_index")
+    assert all(k.endswith(allowed) for k in result.missing_keys), result.missing_keys
+    m = m.eval()
+    ours = jax.jit(lambda p, xx: net.apply({"params": p}, xx))(params, jnp.asarray(x))
+    with torch.no_grad():
+        theirs = m(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy().transpose(0, 2, 3, 1), atol=1e-4, rtol=1e-4
     )
 
 
