@@ -209,6 +209,66 @@ def bench_esrgan_otf_train(
     }
 
 
+def bench_transformer_train(
+    arch_type: str = "swinir_medium", batch_per_chip: int = 8, patch: int = 64,
+    scale: int = 4, warmup: int = 2, iters: int = 10,
+    network_extra: dict | None = None,
+) -> dict:
+    """Window-attention transformer train-step throughput (the largest layer
+    of the reference zoo, SURVEY.md §2.4 — swinir/hat/atd/dat families)."""
+    import jax
+
+    from neosr_tpu.data.loader import collate
+    from neosr_tpu.models import build_model
+    from neosr_tpu.utils.options import opt_from_dict
+
+    n_chips = jax.device_count()
+    global_batch = batch_per_chip * n_chips
+    opt = {
+        "name": f"bench_{arch_type}", "model_type": "image", "scale": scale,
+        "num_gpu": n_chips, "manual_seed": 0, "use_amp": True, "bfloat16": True,
+        "datasets": {"train": {"type": "paired", "phase": "train",
+                               "patch_size": patch, "batch_size": batch_per_chip}},
+        "network_g": {"type": arch_type, **(network_extra or {})},
+        "path": {},
+        "train": {
+            "ema": 0.999,
+            "optim_g": {"type": "adan_sf", "lr": 1e-3,
+                        "betas": [0.98, 0.92, 0.99], "weight_decay": 0.02,
+                        "warmup_steps": 16},
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+        },
+        "logger": {"total_iter": 1000},
+    }
+    opt = opt_from_dict(opt, root_path=".", is_train=True)
+    opt["num_gpu"] = n_chips
+    model = build_model(opt)
+    rng = np.random.default_rng(0)
+    batch = collate([
+        {"lq": rng.random((patch, patch, 3)).astype(np.float32),
+         "gt": rng.random((patch * scale, patch * scale, 3)).astype(np.float32)}
+        for _ in range(global_batch)
+    ])
+    model.feed_data(batch)
+    for i in range(warmup):
+        model.optimize_parameters(i + 1)
+    _sync(model)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        model.optimize_parameters(warmup + i + 1)
+    _sync(model)
+    dt = time.perf_counter() - t0
+    return {
+        "metric": f"{arch_type}_4x_train_patches_per_sec_per_chip",
+        "value": round(global_batch * iters / dt / n_chips, 2),
+        "unit": "patches/s/chip",
+        "vs_baseline": None,
+        "detail": {"n_chips": n_chips, "global_batch": global_batch,
+                   "patch": patch, "iters": iters, "wall_s": round(dt, 3),
+                   "ms_per_step": round(dt / iters * 1e3, 1)},
+    }
+
+
 def bench_esrgan_otf_full(
     batch: int = 16, gt_size: int = 256, scale: int = 4,
     warmup: int = 2, iters: int = 10,
@@ -298,23 +358,48 @@ def bench_esrgan_otf_full(
     }
 
 
+def _run_all() -> None:
+    """Every north-star metric (BASELINE.md) in one driver record: each
+    metric is its own JSON line; the final line is the headline (compact)
+    with the others folded into `detail` so a last-line parser sees all."""
+    results = []
+    for fn in (bench_otf_degrade, bench_esrgan_otf_train, bench_esrgan_otf_full,
+               bench_transformer_train, bench_compact_train):
+        try:
+            results.append(fn())
+        except Exception as e:  # noqa: BLE001 — a dead sub-bench must not hide the rest
+            results.append({"metric": getattr(fn, "__name__", "?"), "value": None,
+                            "unit": "error", "vs_baseline": None,
+                            "detail": {"error": repr(e)[:300]}})
+    headline = results[-1]
+    for r in results[:-1]:
+        print(json.dumps(r))
+        if r["value"] is not None:
+            headline["detail"][r["metric"]] = r["value"]
+    print(json.dumps(headline))
+
+
 if __name__ == "__main__":
     import sys
 
-    which = sys.argv[1] if len(sys.argv) > 1 else "compact"
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which == "all":
-        results = [bench_compact_train(), bench_otf_degrade(), bench_esrgan_otf_train()]
-        compact = results[0]
-        compact["detail"]["otf_degrade_Mpx_per_s"] = results[1]["value"]
-        compact["detail"]["esrgan_patches_per_sec_per_chip"] = results[2]["value"]
-        print(json.dumps(compact))
-        for r in results[1:]:
-            print(json.dumps(r), file=sys.stderr)
+        _run_all()
     elif which == "otf":
         print(json.dumps(bench_otf_degrade()))
     elif which == "esrgan":
         print(json.dumps(bench_esrgan_otf_train()))
     elif which == "esrgan_otf_full":
         print(json.dumps(bench_esrgan_otf_full()))
+    elif which == "compact":
+        print(json.dumps(bench_compact_train()))
+    elif which == "transformer":
+        arch = sys.argv[2] if len(sys.argv) > 2 else "swinir_medium"
+        kw = {}
+        if len(sys.argv) > 3:
+            kw["batch_per_chip"] = int(sys.argv[3])
+        if len(sys.argv) > 4:
+            kw["patch"] = int(sys.argv[4])
+        print(json.dumps(bench_transformer_train(arch, **kw)))
     else:
         print(json.dumps(bench_compact_train()))

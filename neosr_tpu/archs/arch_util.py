@@ -69,6 +69,14 @@ def nearest_upsample(x: jnp.ndarray, scale: int) -> jnp.ndarray:
 # activations
 # ---------------------------------------------------------------------------
 
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU — torch nn.GELU's default, which every reference
+    arch uses (no approximate='tanh' anywhere in the reference zoo).
+    jax.nn.gelu defaults to the tanh approximation, which costs ~3e-4 of
+    forward-parity error."""
+    return jax.nn.gelu(x, approximate=False)
+
+
 class PReLU(nn.Module):
     """Per-channel parametric ReLU (torch PReLU semantics, init 0.25)."""
 

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from neosr_tpu.archs.arch_util import Conv2d, Upsample, lrelu, pixel_shuffle, trunc_normal_init
+from neosr_tpu.archs.arch_util import Conv2d, gelu, lrelu, pixel_shuffle, trunc_normal_init, Upsample
 from neosr_tpu.archs.swin_util import (
     relative_position_index,
     shift_attn_mask,
@@ -40,12 +40,12 @@ class ConvFFN(nn.Module):
     def __call__(self, x):  # x: (b, h, w, c)
         h = nn.Dense(self.hidden, dtype=self.dtype, param_dtype=jnp.float32,
                      kernel_init=trunc_normal_init())(x)
-        h = jax.nn.gelu(h)
+        h = gelu(h)
         k = self.kernel_size
         dw = nn.Conv(self.hidden, (k, k), feature_group_count=self.hidden,
                      padding=(k - 1) // 2, dtype=self.dtype,
                      param_dtype=jnp.float32)(h)
-        h = h + jax.nn.gelu(dw)
+        h = h + gelu(dw)
         return nn.Dense(self.out, dtype=self.dtype, param_dtype=jnp.float32,
                         kernel_init=trunc_normal_init())(h)
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from neosr_tpu.archs.arch_util import Conv2d, pixel_shuffle
+from neosr_tpu.archs.arch_util import Conv2d, gelu, pixel_shuffle
 from neosr_tpu.archs.rgt import L_SA
 from neosr_tpu.archs.swin_util import Mlp
 from neosr_tpu.utils.registry import ARCH_REGISTRY
@@ -55,12 +55,12 @@ class HFERB(nn.Module):
     def __call__(self, x):
         mid = self.dim // 2
         short = x
-        lfe = jax.nn.gelu(Conv2d(mid, 3, dtype=self.dtype)(x[..., :mid]))
+        lfe = gelu(Conv2d(mid, 3, dtype=self.dtype)(x[..., :mid]))
         hfe = jnp.pad(x[..., mid:], ((0, 0), (1, 1), (1, 1), (0, 0)),
                       constant_values=-jnp.inf)
         hfe = jax.lax.reduce_window(hfe, -jnp.inf, jax.lax.max,
                                     (1, 3, 3, 1), (1, 1, 1, 1), "VALID")
-        hfe = jax.nn.gelu(Conv2d(mid, 1, padding=0, dtype=self.dtype)(hfe))
+        hfe = gelu(Conv2d(mid, 1, padding=0, dtype=self.dtype)(hfe))
         merged = jnp.concatenate([lfe, hfe], axis=-1)
         return short + Conv2d(self.dim, 1, padding=0, dtype=self.dtype)(merged)
 
@@ -116,7 +116,7 @@ class HFB(nn.Module):
                     use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)(y)
         y1, y2 = jnp.split(y, 2, axis=-1)
         y = Conv2d(c, 1, padding=0, use_bias=False, dtype=self.dtype)(
-            jax.nn.gelu(y1) * y2)
+            gelu(y1) * y2)
         return x + y
 
 

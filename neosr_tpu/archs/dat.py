@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from neosr_tpu.archs.arch_util import Conv2d, DropPath, Upsample, lrelu, pixel_shuffle, trunc_normal_init
+from neosr_tpu.archs.arch_util import Conv2d, DropPath, gelu, lrelu, pixel_shuffle, trunc_normal_init, Upsample
 from neosr_tpu.archs.ea2fpn import BatchStatNorm
 from neosr_tpu.utils.registry import ARCH_REGISTRY
 
@@ -124,7 +124,7 @@ class SpatialAttentionBranch(nn.Module):
 
 def _bn_gelu_conv(x, ch, dtype):
     x = Conv2d(ch, 1, padding=0, dtype=dtype)(x)
-    return jax.nn.gelu(BatchStatNorm(dtype=dtype)(x))
+    return gelu(BatchStatNorm(dtype=dtype)(x))
 
 
 class AxialSpatialAttention(nn.Module):
@@ -183,7 +183,7 @@ class AxialSpatialAttention(nn.Module):
         # conv branch + AIM
         cv = nn.Conv(c, (3, 3), feature_group_count=c, padding=1,
                      dtype=self.dtype, param_dtype=jnp.float32)(v_img)
-        cv = jax.nn.gelu(BatchStatNorm(dtype=self.dtype)(cv))
+        cv = gelu(BatchStatNorm(dtype=self.dtype)(cv))
         ch_map = _bn_gelu_conv(cv.mean(axis=(1, 2), keepdims=True), c // 8, self.dtype)
         ch_map = Conv2d(c, 1, padding=0, dtype=self.dtype)(ch_map)
         sp_map = _bn_gelu_conv(attened, c // 16, self.dtype)
@@ -226,7 +226,7 @@ class AxialChannelAttention(nn.Module):
 
         cv = nn.Conv(c, (3, 3), feature_group_count=c, padding=1,
                      dtype=self.dtype, param_dtype=jnp.float32)(v_img)
-        cv = jax.nn.gelu(BatchStatNorm(dtype=self.dtype)(cv))
+        cv = gelu(BatchStatNorm(dtype=self.dtype)(cv))
         ch_map = _bn_gelu_conv(out.mean(axis=(1, 2), keepdims=True), c // 8, self.dtype)
         ch_map = Conv2d(c, 1, padding=0, dtype=self.dtype)(ch_map)
         sp_map = _bn_gelu_conv(cv, c // 16, self.dtype)
@@ -245,7 +245,7 @@ class SGFN(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # (b, H, W, C)
-        h = jax.nn.gelu(nn.Dense(self.hidden, dtype=self.dtype,
+        h = gelu(nn.Dense(self.hidden, dtype=self.dtype,
                                  param_dtype=jnp.float32)(x))
         x1, x2 = jnp.split(h, 2, axis=-1)
         x2 = nn.LayerNorm(dtype=self.dtype)(x2)

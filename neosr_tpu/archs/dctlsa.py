@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from neosr_tpu.archs.arch_util import Conv2d, pixel_shuffle
+from neosr_tpu.archs.arch_util import Conv2d, gelu, pixel_shuffle
 from neosr_tpu.archs.ea2fpn import BatchStatNorm
 from neosr_tpu.archs.swin_util import window_partition, window_reverse
 from neosr_tpu.utils.registry import ARCH_REGISTRY
@@ -89,7 +89,7 @@ class SwinTBlock(nn.Module):
         hdim = int(self.dim * self.mlp_ratio)
         y = nn.Dense(hdim, dtype=self.dtype, param_dtype=jnp.float32)(x)
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(
-            jax.nn.gelu(y))
+            gelu(y))
         return x + y
 
 

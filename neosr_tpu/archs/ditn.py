@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from neosr_tpu.archs.arch_util import Conv2d, pixel_shuffle
+from neosr_tpu.archs.arch_util import Conv2d, gelu, pixel_shuffle
 from neosr_tpu.utils.registry import ARCH_REGISTRY
 
 
@@ -34,7 +34,7 @@ class FeedForward(nn.Module):
                     use_bias=self.use_bias, dtype=self.dtype,
                     param_dtype=jnp.float32)(x)
         x1, x2 = jnp.split(x, 2, axis=-1)
-        x = jax.nn.gelu(x1) * x2
+        x = gelu(x1) * x2
         return Conv2d(self.dim, 1, padding=0, use_bias=self.use_bias,
                       dtype=self.dtype)(x)
 

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from neosr_tpu.archs.arch_util import Conv2d, DropPath, pixel_shuffle
+from neosr_tpu.archs.arch_util import Conv2d, DropPath, gelu, pixel_shuffle
 from neosr_tpu.archs.ea2fpn import BatchStatNorm
 from neosr_tpu.utils.registry import ARCH_REGISTRY
 
@@ -41,10 +41,10 @@ class DFFM(nn.Module):
         rc = int(c * self.act_ratio)
         identity = x
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
-        x_global = jax.nn.gelu(
+        x_global = gelu(
             Conv2d(rc, 1, padding=0, dtype=self.dtype)(x.mean(axis=(1, 2), keepdims=True))
         )
-        x_local = jax.nn.gelu(Conv2d(rc, 1, padding=0, dtype=self.dtype)(x))
+        x_local = gelu(Conv2d(rc, 1, padding=0, dtype=self.dtype)(x))
         c_attn = jax.nn.sigmoid(Conv2d(c, 1, padding=0, dtype=self.dtype)(x_global))
         g = jnp.broadcast_to(x_global, (*x_local.shape[:-1], rc))
         s_attn = jax.nn.sigmoid(
@@ -66,7 +66,7 @@ class SADFFM(nn.Module):
         x = Conv2d(hidden * 2, 1, padding=0, dtype=self.dtype)(x)
         x = _dw(x, 3, dtype=self.dtype)
         x1, x2 = jnp.split(x, 2, axis=-1)
-        x = jax.nn.gelu(x1) * x2
+        x = gelu(x1) * x2
         x = Conv2d(self.dim, 1, padding=0, dtype=self.dtype)(x)
         return DFFM(dtype=self.dtype)(x)
 
@@ -80,7 +80,7 @@ class MOLRCM(nn.Module):
         c1 = int((3 / 8) * self.dim)
         c2 = int((1 / 8) * self.dim)
         value = Conv2d(self.dim, 1, padding=0, dtype=self.dtype)(x)
-        query = jax.nn.gelu(Conv2d(self.dim, 1, padding=0, dtype=self.dtype)(x))
+        query = gelu(Conv2d(self.dim, 1, padding=0, dtype=self.dtype)(x))
         query = _dw(query, 5, dtype=self.dtype)
         q1 = _dw(query[..., :c1], 5, dilation=2, dtype=self.dtype)
         q2 = query[..., c1 : c1 + c2]
@@ -133,7 +133,9 @@ class eimn(nn.Module):
                 h = EIMNBlock(self.embed_dims, self.mlp_ratios,
                               float(dpr[cur + j]), self.dtype)(h, deterministic)
             cur += self.depths
-            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(h)
+            # stage norm is a stock nn.LayerNorm in the reference
+            # (eimn_arch.py:268) -> torch default eps 1e-5
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(h)
         h = Conv2d(3 * self.scale**2, 3, dtype=self.dtype)(identity + h)
         return pixel_shuffle(h, self.scale)
 

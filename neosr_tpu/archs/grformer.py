@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from neosr_tpu.archs.arch_util import Conv2d, pixel_shuffle, trunc_normal_init
+from neosr_tpu.archs.arch_util import Conv2d, gelu, pixel_shuffle, trunc_normal_init
 from neosr_tpu.archs.dat import rect_shift_mask, rect_window_partition, rect_window_reverse
 from neosr_tpu.utils.registry import ARCH_REGISTRY
 
@@ -131,11 +131,11 @@ class GRSAB(nn.Module):
         # post-norm residuals (grformer_arch.py:399-404)
         x = shortcut + nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(xs)
         hidden = int(self.dim * self.mlp_ratio)
-        y = jax.nn.gelu(nn.Dense(hidden, dtype=self.dtype,
+        y = gelu(nn.Dense(hidden, dtype=self.dtype,
                                  param_dtype=jnp.float32)(x))
         dw = nn.Conv(hidden, (5, 5), feature_group_count=hidden, padding=2,
                      dtype=self.dtype, param_dtype=jnp.float32)(y)
-        y = y + jax.nn.gelu(dw)
+        y = y + gelu(dw)
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(y)
         return x + nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(y)
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from neosr_tpu.archs.arch_util import Conv2d, DropPath, Upsample, lrelu, trunc_normal_init
+from neosr_tpu.archs.arch_util import Conv2d, DropPath, gelu, lrelu, trunc_normal_init, Upsample
 from neosr_tpu.archs.swin_util import (
     Mlp,
     WindowAttention,
@@ -66,7 +66,7 @@ class CAB(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = jax.nn.gelu(Conv2d(self.num_feat // self.compress_ratio, 3,
+        y = gelu(Conv2d(self.num_feat // self.compress_ratio, 3,
                                dtype=self.dtype)(x))
         y = Conv2d(self.num_feat, 3, dtype=self.dtype)(y)
         return ChannelAttention(self.num_feat, self.squeeze_factor, self.dtype)(y)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from neosr_tpu.archs.arch_util import Conv2d, DropPath, Upsample, lrelu, trunc_normal_init
+from neosr_tpu.archs.arch_util import Conv2d, DropPath, gelu, lrelu, trunc_normal_init, Upsample
 from neosr_tpu.archs.dat import DynamicPosBias, rect_rel_coords
 from neosr_tpu.archs.swin_util import (
     Mlp,
@@ -76,7 +76,7 @@ class FusedConv(nn.Module):
         shortcut = x
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         h = Conv2d(mid, 3, dtype=self.dtype)(h)
-        h = jax.nn.gelu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(h))
+        h = gelu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(h))
         # SE
         g = h.mean(axis=(1, 2), keepdims=True)
         rd = int(mid / self.attn_ratio)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from neosr_tpu.archs.arch_util import Conv2d, pixel_shuffle
+from neosr_tpu.archs.arch_util import Conv2d, gelu, pixel_shuffle
 from neosr_tpu.utils.registry import ARCH_REGISTRY
 
 
@@ -88,7 +88,7 @@ class LKAT(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = jax.nn.gelu(Conv2d(self.n_feats, 1, padding=0, dtype=self.dtype)(x))
+        x = gelu(Conv2d(self.n_feats, 1, padding=0, dtype=self.dtype)(x))
         att = _dwconv(x, 7, dtype=self.dtype)
         att = _dwconv(att, 9, dilation=3, dtype=self.dtype)
         att = Conv2d(self.n_feats, 1, padding=0, dtype=self.dtype)(att)

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from neosr_tpu.archs.arch_util import Conv2d, pixel_shuffle
+from neosr_tpu.archs.arch_util import Conv2d, gelu, pixel_shuffle
 from neosr_tpu.archs.safmn import adaptive_max_pool, nearest_resize_to
 from neosr_tpu.ops.resize import resize_antialias
 from neosr_tpu.utils.registry import ARCH_REGISTRY
@@ -67,13 +67,13 @@ class EBFB(nn.Module):
             return Conv2d(self.channels, 1, padding=0, dtype=self.dtype)(t)
 
         x1 = c1(x)
-        x2 = jax.nn.sigmoid(c1(x)) * jax.nn.gelu(BSConv(self.channels, 3, self.dtype)(x))
+        x2 = jax.nn.sigmoid(c1(x)) * gelu(BSConv(self.channels, 3, self.dtype)(x))
         out1 = x1 + x2
         x3 = c1(out1)
-        x4 = jax.nn.sigmoid(c1(out1)) * jax.nn.gelu(BSConv(self.channels, 5, self.dtype)(out1))
+        x4 = jax.nn.sigmoid(c1(out1)) * gelu(BSConv(self.channels, 5, self.dtype)(out1))
         out2 = x3 + x4
         x5 = c1(out2)
-        x6 = jax.nn.sigmoid(c1(out2)) * jax.nn.gelu(BSConv(self.channels, 7, self.dtype)(out2))
+        x6 = jax.nn.sigmoid(c1(out2)) * gelu(BSConv(self.channels, 7, self.dtype)(out2))
         return Conv2d(self.channels, 1, padding=0, dtype=self.dtype)(
             jnp.concatenate([x1, x3, x5, x6], axis=-1)
         )
@@ -110,16 +110,16 @@ class msdan(nn.Module):
         if s == 2:
             x = BSConv(self.channels, 3, self.dtype)(x)
             x = pixel_shuffle(x, 2)
-            x = jax.nn.gelu(BSConv(self.channels, 3, self.dtype)(x))
+            x = gelu(BSConv(self.channels, 3, self.dtype)(x))
         elif s == 3:
             x = BSConv(54, 3, self.dtype)(x)
             x = pixel_shuffle(x, 3)
-            x = jax.nn.gelu(BSConv(self.channels, 3, self.dtype)(x))
+            x = gelu(BSConv(self.channels, 3, self.dtype)(x))
         elif s == 4:
             for _ in range(2):
                 x = BSConv(self.channels, 3, self.dtype)(x)
                 x = pixel_shuffle(x, 2)
-                x = jax.nn.gelu(BSConv(self.channels, 3, self.dtype)(x))
+                x = gelu(BSConv(self.channels, 3, self.dtype)(x))
         else:
             msg = f"msdan supports 2x/3x/4x, got {s}"
             raise ValueError(msg)

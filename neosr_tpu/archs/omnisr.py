@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from neosr_tpu.archs.arch_util import Conv2d, pixel_shuffle
+from neosr_tpu.archs.arch_util import Conv2d, gelu, pixel_shuffle
 from neosr_tpu.utils.registry import ARCH_REGISTRY
 
 
@@ -61,8 +61,8 @@ class MBConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         hidden = int(self.expansion_rate * self.dim)
-        h = jax.nn.gelu(Conv2d(hidden, 1, padding=0, dtype=self.dtype)(x))
-        h = jax.nn.gelu(_dw(h, 3, dtype=self.dtype))
+        h = gelu(Conv2d(hidden, 1, padding=0, dtype=self.dtype)(x))
+        h = gelu(_dw(h, 3, dtype=self.dtype))
         h = SqueezeExcitation(dtype=self.dtype)(h)
         h = Conv2d(self.dim, 1, padding=0, dtype=self.dtype)(h)
         return h + x
@@ -112,7 +112,7 @@ class GatedConvFFN(nn.Module):
         h = _dw(h, 3, use_bias=False, dtype=self.dtype)
         x1, x2 = jnp.split(h, 2, axis=-1)
         return Conv2d(self.dim, 1, padding=0, use_bias=False, dtype=self.dtype)(
-            jax.nn.gelu(x1) * x2
+            gelu(x1) * x2
         )
 
 

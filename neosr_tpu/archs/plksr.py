@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from neosr_tpu.archs.arch_util import Conv2d, pixel_shuffle, trunc_normal_init
+from neosr_tpu.archs.arch_util import Conv2d, gelu, pixel_shuffle, trunc_normal_init
 from neosr_tpu.utils.registry import ARCH_REGISTRY
 
 
@@ -32,7 +32,7 @@ class DCCM(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = Conv2d(self.dim * 2, 3, dtype=self.dtype)(x)
-        x = _mish(x) if self.act == "mish" else jax.nn.gelu(x)
+        x = _mish(x) if self.act == "mish" else gelu(x)
         return Conv2d(self.dim, 3, dtype=self.dtype,
                       kernel_init=trunc_normal_init())(x)
 
@@ -43,7 +43,7 @@ class CCM(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = jax.nn.gelu(Conv2d(self.dim * 2, 3, dtype=self.dtype)(x))
+        x = gelu(Conv2d(self.dim * 2, 3, dtype=self.dtype)(x))
         return Conv2d(self.dim, 1, padding=0, dtype=self.dtype,
                       kernel_init=trunc_normal_init())(x)
 
@@ -54,7 +54,7 @@ class ICCM(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = jax.nn.gelu(Conv2d(self.dim * 2, 1, padding=0, dtype=self.dtype)(x))
+        x = gelu(Conv2d(self.dim * 2, 1, padding=0, dtype=self.dtype)(x))
         return Conv2d(self.dim, 3, dtype=self.dtype,
                       kernel_init=trunc_normal_init())(x)
 

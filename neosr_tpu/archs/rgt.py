@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from neosr_tpu.archs.arch_util import Conv2d, DropPath, Upsample, lrelu, trunc_normal_init
+from neosr_tpu.archs.arch_util import Conv2d, DropPath, gelu, lrelu, trunc_normal_init, Upsample
 from neosr_tpu.archs.dat import (
     SGFN,
     SpatialAttentionBranch,
@@ -115,7 +115,7 @@ class RG_SA(nn.Module):
         red = Conv2d(cr, 1, padding=0, dtype=self.dtype)(red)
         hr, wr = red.shape[1], red.shape[2]
         red_tokens = red.reshape(b, hr * wr, cr)
-        red_tokens = jax.nn.gelu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(red_tokens))
+        red_tokens = gelu(nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(red_tokens))
 
         n = h * w
         tokens = x.reshape(b, n, c)

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from neosr_tpu.archs.arch_util import Conv2d, pixel_shuffle
+from neosr_tpu.archs.arch_util import Conv2d, gelu, pixel_shuffle
 from neosr_tpu.utils.registry import ARCH_REGISTRY
 
 
@@ -71,7 +71,7 @@ class SAFM(nn.Module):
         out = Conv2d(self.dim, 1, padding=0, dtype=self.dtype)(
             jnp.concatenate(outs, axis=-1)
         )
-        return jax.nn.gelu(out) * x
+        return gelu(out) * x
 
 
 class CCM(nn.Module):
@@ -82,7 +82,7 @@ class CCM(nn.Module):
     @nn.compact
     def __call__(self, x):
         hidden = int(self.dim * self.growth)
-        x = jax.nn.gelu(Conv2d(hidden, 3, dtype=self.dtype)(x))
+        x = gelu(Conv2d(hidden, 3, dtype=self.dtype)(x))
         return Conv2d(self.dim, 1, padding=0, dtype=self.dtype)(x)
 
 
@@ -146,10 +146,10 @@ class SimpleSAFM(nn.Module):
         x2 = adaptive_max_pool(x0, max(h // 8, 1), max(w // 8, 1))
         x2 = _dw(x2, 3, use_bias=False, dtype=self.dtype)
         x2 = jax.image.resize(x2, (x2.shape[0], h, w, x2.shape[-1]), "bilinear")
-        x2 = jax.nn.gelu(x2) * x0
+        x2 = gelu(x2) * x0
         out = jnp.concatenate([x1, x2], axis=-1)
         return Conv2d(self.dim, 1, padding=0, use_bias=False, dtype=self.dtype)(
-            jax.nn.gelu(out)
+            gelu(out)
         )
 
 
@@ -168,7 +168,7 @@ class light_safmnpp(nn.Module):
         for _ in range(self.n_blocks):
             h = SimpleSAFM(self.dim, self.dtype)(h)
             hidden = int(self.dim * self.ffn_scale)
-            h2 = jax.nn.gelu(Conv2d(hidden, 3, use_bias=False, dtype=self.dtype)(h))
+            h2 = gelu(Conv2d(hidden, 3, use_bias=False, dtype=self.dtype)(h))
             h = Conv2d(self.dim, 1, padding=0, use_bias=False, dtype=self.dtype)(h2)
         h = h + feat
         h = Conv2d(3 * self.upscaling_factor**2, 3, use_bias=False, dtype=self.dtype)(h)

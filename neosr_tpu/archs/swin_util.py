@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from neosr_tpu.archs.arch_util import DropPath, trunc_normal_init
+from neosr_tpu.archs.arch_util import DropPath, gelu, trunc_normal_init
 
 Dtype = Any
 
@@ -93,7 +93,7 @@ def shift_attn_mask(h: int, w: int, win: int, shift: int) -> np.ndarray:
 class Mlp(nn.Module):
     hidden_features: int
     out_features: int
-    act: Callable = jax.nn.gelu
+    act: Callable = gelu
     drop: float = 0.0
     dtype: Dtype = jnp.float32
 

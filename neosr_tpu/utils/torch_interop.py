@@ -497,10 +497,20 @@ CONVERTERS: dict[str, Callable[[dict], dict]] = {
 }
 
 
+def _all_converters() -> dict[str, Callable[[dict], dict]]:
+    """Core converters + the extended-zoo set (lazy import: the ext module
+    imports helpers from this one)."""
+    from neosr_tpu.utils.torch_interop_ext import EXT_CONVERTERS
+
+    return {**CONVERTERS, **EXT_CONVERTERS}
+
+
 def family(arch_type: str) -> str | None:
     """Map a registered preset name (e.g. plksr_tiny, spanplus_sts) to its
-    converter family; longest match wins (spanplus_* is not span_*)."""
-    for fam in sorted(CONVERTERS, key=len, reverse=True):
+    converter family; longest match wins (spanplus_* is not span_*,
+    light_safmnpp is not safmn_*)."""
+    converters = _all_converters()
+    for fam in sorted(converters, key=len, reverse=True):
         if arch_type == fam or arch_type.startswith(fam + "_"):
             return fam
     return None
@@ -508,16 +518,17 @@ def family(arch_type: str) -> str | None:
 
 def convert_state_dict(sd: dict[str, Any], arch_type: str) -> dict[str, Any]:
     """Flat torch state_dict -> nested flax param tree for `arch_type`."""
+    converters = _all_converters()
     fam = family(arch_type)
     if fam is None:
-        supported = ", ".join(sorted(CONVERTERS))
+        supported = ", ".join(sorted(converters))
         msg = (
             f"No torch-checkpoint converter for arch '{arch_type}' "
             f"(supported: {supported}). Re-export via convert.py instead."
         )
         raise ValueError(msg)
     sd_np = {k: np.asarray(v) for k, v in sd.items()}
-    flat = CONVERTERS[fam](sd_np)
+    flat = converters[fam](sd_np)
     return unflatten_params(flat)
 
 

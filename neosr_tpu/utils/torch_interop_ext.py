@@ -1,0 +1,306 @@
+"""Torch-checkpoint converters for the extended arch zoo.
+
+Round-1 shipped converters for the 9 ecosystem-core families
+(torch_interop.py); this module covers the rest of the reference zoo so
+every registered generator family can import reference/openmodeldb ``.pth``
+checkpoints and be forward-parity-tested against the reference torch code
+(reference layouts: /root/reference/neosr/archs/*_arch.py).
+
+Each ``convert_<fam>`` maps a flat torch state_dict (numpy values) onto our
+flax auto-naming (call-order ``Conv2d_i`` / ``Conv_i`` / ``Dense_i`` /
+``LayerNorm_i`` scopes).  Derived buffers (BatchNorm running stats,
+relative_position_index tables, attn masks, unused parameters kept by the
+reference like DITN's dead ``temperature``) are intentionally dropped.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+import numpy as np
+
+from neosr_tpu.utils.torch_interop import (
+    _k,
+    _put_conv,
+    _put_dense,
+    _put_ln,
+)
+
+
+def _put_scale(out: dict, key: str, sd: dict, torch_key: str, used: set) -> None:
+    """(1,C,1,1) channel-scale parameter -> flat (C,)."""
+    out[key] = np.asarray(sd[torch_key]).reshape(-1)
+    used.add(torch_key)
+
+
+def _put_raw_conv(out: dict, key_prefix: str, sd: dict, tp: str, used: set) -> None:
+    """A bare nn.Conv (auto-named Conv_i, no Conv2d wrapper)."""
+    out[f"{key_prefix}.kernel"] = _k(sd[f"{tp}.weight"])
+    used.add(f"{tp}.weight")
+    if f"{tp}.bias" in sd:
+        out[f"{key_prefix}.bias"] = sd[f"{tp}.bias"]
+        used.add(f"{tp}.bias")
+
+
+# ---------------------------------------------------------------- man
+
+
+def convert_man(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """MAN (reference man_arch.py:143-236): head/tail convs, ResGroups of
+    MAB = GroupGLKA (LKA) + SGAB (LFE), LKAT tail (body_t) per group."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+    _put_conv(out, "Conv2d_0", sd, "head", used)
+
+    groups = sorted({
+        int(m.group(1)) for key in sd if (m := re.match(r"body\.(\d+)\.", key))
+    })
+    multi = "body_t.weight" in sd  # top-level conv only when n_resgroups > 1
+    for g in groups:
+        gp, gs = f"body.{g}", f"ResGroup_{g}"
+        blocks = sorted({
+            int(m.group(1)) for key in sd
+            if (m := re.match(rf"body\.{g}\.body\.(\d+)\.", key))
+        })
+        for b in blocks:
+            # GroupGLKA (reference "LKA", man_arch.py:62-141)
+            tp, sc = f"{gp}.body.{b}.LKA", f"{gs}.GroupGLKA_{b}"
+            _put_ln(out, f"{sc}.LayerNorm_0", sd, f"{tp}.norm", used)
+            _put_conv(out, f"{sc}.Conv2d_0", sd, f"{tp}.proj_first.0", used)
+            for n, (lka, x_dw) in enumerate((("LKA3", "X3"), ("LKA5", "X5"),
+                                             ("LKA7", "X7"))):
+                _put_raw_conv(out, f"{sc}.Conv_{3 * n}", sd, f"{tp}.{lka}.0", used)
+                _put_raw_conv(out, f"{sc}.Conv_{3 * n + 1}", sd, f"{tp}.{lka}.1", used)
+                _put_conv(out, f"{sc}.Conv2d_{n + 1}", sd, f"{tp}.{lka}.2", used)
+                _put_raw_conv(out, f"{sc}.Conv_{3 * n + 2}", sd, f"{tp}.{x_dw}", used)
+            _put_conv(out, f"{sc}.Conv2d_4", sd, f"{tp}.proj_last.0", used)
+            _put_scale(out, f"{sc}.ChannelScale_0.scale", sd, f"{tp}.scale", used)
+            # SGAB (reference "LFE", man_arch.py:42-60)
+            tp, sc = f"{gp}.body.{b}.LFE", f"{gs}.SGAB_{b}"
+            _put_ln(out, f"{sc}.LayerNorm_0", sd, f"{tp}.norm", used)
+            _put_conv(out, f"{sc}.Conv2d_0", sd, f"{tp}.Conv1", used)
+            _put_raw_conv(out, f"{sc}.Conv_0", sd, f"{tp}.DWConv1", used)
+            _put_conv(out, f"{sc}.Conv2d_1", sd, f"{tp}.Conv2", used)
+            _put_scale(out, f"{sc}.ChannelScale_0.scale", sd, f"{tp}.scale", used)
+        # LKAT (reference man_arch.py:156-182)
+        tp, sc = f"{gp}.body_t", f"{gs}.LKAT_0"
+        _put_conv(out, f"{sc}.Conv2d_0", sd, f"{tp}.conv0.0", used)
+        _put_raw_conv(out, f"{sc}.Conv_0", sd, f"{tp}.att.0", used)
+        _put_raw_conv(out, f"{sc}.Conv_1", sd, f"{tp}.att.1", used)
+        _put_conv(out, f"{sc}.Conv2d_1", sd, f"{tp}.att.2", used)
+        _put_conv(out, f"{sc}.Conv2d_2", sd, f"{tp}.conv1", used)
+
+    if multi:
+        _put_conv(out, "Conv2d_1", sd, "body_t", used)
+        _put_conv(out, "Conv2d_2", sd, "tail.0", used)
+    else:
+        _put_conv(out, "Conv2d_1", sd, "tail.0", used)
+    return out
+
+
+# ---------------------------------------------------------------- mosr
+
+
+def convert_mosr(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """MOSR (reference mosr_arch.py:12-204): gblocks Sequential = stem conv,
+    n GatedCNNBlocks, conv(2C)/Mish/conv(C)/Mish/conv1x1; ConvBlock shortcut;
+    ps/gps/dys upsampler."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+    gidx = sorted({
+        int(m.group(1)) for key in sd
+        if (m := re.match(r"gblocks\.(\d+)\.", key))
+    } | {
+        int(m.group(1)) for key in sd
+        if (m := re.fullmatch(r"gblocks\.(\d+)\.(weight|bias)", key))
+    })
+    gated = sorted({
+        int(m.group(1)) for key in sd
+        if (m := re.match(r"gblocks\.(\d+)\.norm\.", key))
+    })
+    plain = [i for i in gidx if i not in gated]
+    # plain[0] = stem; remaining three = 2C conv, C conv, 1x1 conv
+    _put_conv(out, "Conv2d_0", sd, f"gblocks.{plain[0]}", used)
+    for n, i in enumerate(gated):
+        tp, sc = f"gblocks.{i}", f"GatedCNNBlock_{n}"
+        _put_ln(out, f"{sc}.LayerNorm_0", sd, f"{tp}.norm", used)
+        _put_conv(out, f"{sc}.Conv2d_0", sd, f"{tp}.fc1", used)
+        _put_raw_conv(out, f"{sc}.Conv_0", sd, f"{tp}.conv", used)
+        _put_conv(out, f"{sc}.Conv2d_1", sd, f"{tp}.fc2", used)
+    for n, i in enumerate(plain[1:]):
+        _put_conv(out, f"Conv2d_{n + 1}", sd, f"gblocks.{i}", used)
+    _put_conv(out, "ConvBlock_0.Conv2d_0", sd, "shortcut.block.0", used)
+    _put_conv(out, "ConvBlock_0.Conv2d_1", sd, "shortcut.block.2", used)
+    _put_conv(out, "ConvBlock_0.Conv2d_2", sd, "shortcut.conv11", used)
+    if "upsampler.offset.weight" in sd:  # dys
+        _put_conv(out, "DySample_0.Conv2d_0", sd, "upsampler.offset", used)
+        _put_conv(out, "DySample_0.Conv2d_1", sd, "upsampler.scope", used)
+        if "upsampler.end_conv.weight" in sd:
+            _put_conv(out, "DySample_0.Conv2d_2", sd, "upsampler.end_conv", used)
+    elif "upsampler.in_to_k.weight" in sd:  # gps
+        _put_conv(out, "GPS_0.Conv2d_0", sd, "upsampler.in_to_k", used)
+    elif "upsampler.0.weight" in sd:  # ps (Sequential conv + PixelShuffle)
+        _put_conv(out, "Conv2d_4", sd, "upsampler.0", used)
+    return out
+
+
+# ---------------------------------------------------------------- safmn
+
+
+def convert_safmn(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """SAFMN (reference safmn_arch.py:13-214): to_feat conv, AttBlocks
+    (SAFM multi-scale dw pyramid + CCM), to_img conv+ps."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+    _put_conv(out, "Conv2d_0", sd, "to_feat", used)
+    blocks = sorted({
+        int(m.group(1)) for key in sd if (m := re.match(r"feats\.(\d+)\.", key))
+    })
+    for i in blocks:
+        tp, sc = f"feats.{i}", f"AttBlock_{i}"
+        _put_ln(out, f"{sc}.LayerNorm_0", sd, f"{tp}.norm1", used)
+        _put_ln(out, f"{sc}.LayerNorm_1", sd, f"{tp}.norm2", used)
+        for lv in range(4):
+            _put_raw_conv(out, f"{sc}.SAFM_0.Conv_{lv}", sd,
+                          f"{tp}.safm.mfr.{lv}", used)
+        _put_conv(out, f"{sc}.SAFM_0.Conv2d_0", sd, f"{tp}.safm.aggr", used)
+        _put_conv(out, f"{sc}.CCM_0.Conv2d_0", sd, f"{tp}.ccm.ccm.0", used)
+        _put_conv(out, f"{sc}.CCM_0.Conv2d_1", sd, f"{tp}.ccm.ccm.2", used)
+    _put_conv(out, "Conv2d_1", sd, "to_img.0", used)
+    return out
+
+
+def convert_light_safmnpp(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """light SAFMN++ (reference safmn_arch.py:219-291): bias-free convs;
+    feats.{i}.conv1 = SimpleSAFM, feats.{i}.conv2 = CCM Sequential."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+    _put_conv(out, "Conv2d_0", sd, "to_feat", used)
+    blocks = sorted({
+        int(m.group(1)) for key in sd if (m := re.match(r"feats\.(\d+)\.", key))
+    })
+    nc = 1
+    for i in blocks:
+        tp, sc = f"feats.{i}", f"SimpleSAFM_{i}"
+        _put_conv(out, f"{sc}.Conv2d_0", sd, f"{tp}.conv1.proj", used)
+        _put_raw_conv(out, f"{sc}.Conv_0", sd, f"{tp}.conv1.dwconv", used)
+        _put_conv(out, f"{sc}.Conv2d_1", sd, f"{tp}.conv1.out", used)
+        _put_conv(out, f"Conv2d_{nc}", sd, f"{tp}.conv2.conv.0", used)
+        _put_conv(out, f"Conv2d_{nc + 1}", sd, f"{tp}.conv2.conv.2", used)
+        nc += 2
+    _put_conv(out, f"Conv2d_{nc}", sd, "to_img.0", used)
+    return out
+
+
+# ---------------------------------------------------------------- eimn
+
+
+def convert_eimn(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """EIMN (reference eimn_arch.py:48-319): per-stage block{i}/norm{i};
+    BatchNorm running stats are dropped (we normalize by batch stats)."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+    _put_conv(out, "Conv2d_0", sd, "head.0", used)
+    _put_conv(out, "Conv2d_1", sd, "tail.0", used)
+
+    stages = sorted({
+        int(m.group(1)) for key in sd if (m := re.match(r"block(\d+)\.", key))
+    })
+    blk = 0
+    for s in stages:
+        depths = sorted({
+            int(m.group(1)) for key in sd
+            if (m := re.match(rf"block{s}\.(\d+)\.", key))
+        })
+        for j in depths:
+            tp, sc = f"block{s}.{j}", f"EIMNBlock_{blk}"
+            blk += 1
+            out[f"{sc}.layer_scale_1"] = sd[f"{tp}.layer_scale_1"]
+            out[f"{sc}.layer_scale_2"] = sd[f"{tp}.layer_scale_2"]
+            for n, norm in enumerate(("norm1", "norm2")):
+                out[f"{sc}.BatchStatNorm_{n}.scale"] = sd[f"{tp}.{norm}.weight"]
+                out[f"{sc}.BatchStatNorm_{n}.bias"] = sd[f"{tp}.{norm}.bias"]
+            attn = f"{sc}.MOLRCM_0"
+            _put_conv(out, f"{attn}.Conv2d_0", sd, f"{tp}.attn.proj_value.0", used)
+            _put_conv(out, f"{attn}.Conv2d_1", sd, f"{tp}.attn.proj_query.0", used)
+            _put_raw_conv(out, f"{attn}.Conv_0", sd, f"{tp}.attn.region", used)
+            _put_raw_conv(out, f"{attn}.Conv_1", sd, f"{tp}.attn.spatial_1", used)
+            _put_raw_conv(out, f"{attn}.Conv_2", sd, f"{tp}.attn.spatial_2", used)
+            _put_conv(out, f"{attn}.Conv2d_2", sd, f"{tp}.attn.fusion", used)
+            _put_conv(out, f"{attn}.Conv2d_3", sd, f"{tp}.attn.out", used)
+            mlp = f"{sc}.SADFFM_0"
+            _put_conv(out, f"{mlp}.Conv2d_0", sd, f"{tp}.mlp.linear_in", used)
+            _put_raw_conv(out, f"{mlp}.Conv_0", sd, f"{tp}.mlp.SAL", used)
+            _put_conv(out, f"{mlp}.Conv2d_1", sd, f"{tp}.mlp.linear_out", used)
+            dffm = f"{mlp}.DFFM_0"
+            _put_ln(out, f"{dffm}.LayerNorm_0", sd, f"{tp}.mlp.DFFM.norm", used)
+            _put_conv(out, f"{dffm}.Conv2d_0", sd, f"{tp}.mlp.DFFM.global_reduce", used)
+            _put_conv(out, f"{dffm}.Conv2d_1", sd, f"{tp}.mlp.DFFM.local_reduce", used)
+            _put_conv(out, f"{dffm}.Conv2d_2", sd, f"{tp}.mlp.DFFM.channel_expand", used)
+            _put_conv(out, f"{dffm}.Conv2d_3", sd, f"{tp}.mlp.DFFM.spatial_expand", used)
+        _put_ln(out, f"LayerNorm_{s - 1}", sd, f"norm{s}", used)
+    return out
+
+
+# ---------------------------------------------------------------- ditn
+
+
+def convert_ditn(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """DITN (reference ditn_arch.py:30-340).  The reference ISA keeps a
+    learnable ``temperature`` but its forward discards it (attn recomputed
+    by F.scaled_dot_product_attention, ditn_arch.py:124-127) — dropped."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+    _put_conv(out, "Conv2d_0", sd, "sft", used)
+
+    def ffn(sc: str, tp: str) -> None:
+        _put_conv(out, f"{sc}.Conv2d_0", sd, f"{tp}.project_in", used)
+        _put_raw_conv(out, f"{sc}.Conv_0", sd, f"{tp}.dwconv", used)
+        _put_conv(out, f"{sc}.Conv2d_1", sd, f"{tp}.project_out", used)
+
+    ufones = sorted({
+        int(m.group(1)) for key in sd if (m := re.match(r"UFONE\.(\d+)\.", key))
+    })
+    n_itl = len({
+        int(m.group(1)) for key in sd
+        if (m := re.match(r"UFONE\.0\.ITLs\.(\d+)\.", key))
+    })
+    n_sal = len({
+        int(m.group(1)) for key in sd
+        if (m := re.match(r"UFONE\.0\.SALs\.(\d+)\.", key))
+    })
+    for u in ufones:
+        for i in range(n_itl):
+            tp, sc = f"UFONE.{u}.ITLs.{i}", f"ITL_{u * n_itl + i}"
+            _put_conv(out, f"{sc}.Conv2d_0", sd, f"{tp}.conv1", used)
+            _put_dense(out, f"{sc}.ISA_0.Dense_0", sd, f"{tp}.attn.qkv", used)
+            _put_conv(out, f"{sc}.ISA_0.Conv2d_0", sd, f"{tp}.attn.project_out", used)
+            _put_conv(out, f"{sc}.Conv2d_1", sd, f"{tp}.conv2", used)
+            ffn(f"{sc}.FeedForward_0", f"{tp}.ffn")
+            used.add(f"{tp}.attn.temperature")
+        for j in range(n_sal):
+            tp, sc = f"UFONE.{u}.SALs.{j}", f"SAL_{u * n_sal + j}"
+            _put_conv(out, f"{sc}.Conv2d_0", sd, f"{tp}.conv1", used)
+            sda = f"{sc}.SDA_0"
+            _put_scale(out, f"{sda}.scale", sd, f"{tp}.SDA.scale", used)
+            _put_conv(out, f"{sda}.Conv2d_0", sd, f"{tp}.SDA.proj_first.0", used)
+            _put_raw_conv(out, f"{sda}.Conv_0", sd, f"{tp}.SDA.DConvs.0", used)
+            _put_raw_conv(out, f"{sda}.Conv_1", sd, f"{tp}.SDA.DConvs.1", used)
+            _put_conv(out, f"{sda}.Conv2d_1", sd, f"{tp}.SDA.DConvs.2", used)
+            _put_conv(out, f"{sda}.Conv2d_2", sd, f"{tp}.SDA.proj_last.0", used)
+            _put_conv(out, f"{sc}.Conv2d_1", sd, f"{tp}.conv2", used)
+            ffn(f"{sc}.FeedForward_0", f"{tp}.ffn")
+    _put_conv(out, "Conv2d_1", sd, "conv_after_body", used)
+    _put_conv(out, "Conv2d_2", sd, "upsample.0", used)
+    return out
+
+
+EXT_CONVERTERS: dict[str, Callable[[dict], dict]] = {
+    "man": convert_man,
+    "mosr": convert_mosr,
+    "safmn": convert_safmn,
+    "light_safmnpp": convert_light_safmnpp,
+    "eimn": convert_eimn,
+    "ditn": convert_ditn,
+}

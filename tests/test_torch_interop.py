@@ -76,7 +76,7 @@ def _state_dict_np(module):
 
 
 def _compare(torch_model, our_type, our_kwargs, sd, x_nhwc, atol=2e-5):
-    params = convert_state_dict(sd, our_type.split("_")[0])
+    params = convert_state_dict(sd, our_type)  # family() resolves presets
     net = build_network({"type": our_type, **our_kwargs}, scale=4)
     ours = jax.jit(lambda p, x: net.apply({"params": p}, x))(
         params, jnp.asarray(x_nhwc)

@@ -1,0 +1,82 @@
+"""Forward-parity for the extended arch zoo: reference torch generators,
+random-init, state_dicts imported into our flax archs — same pixels.
+
+Complements tests/test_torch_interop.py (which covers the 9 ecosystem-core
+families); together every registered generator family is numerically
+verified against the reference torch forward."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from test_torch_interop import _compare, _load_ref_arch, _state_dict_np  # noqa: E402
+
+
+@pytest.fixture()
+def x():
+    return np.random.default_rng(1).random((1, 16, 16, 3)).astype(np.float32)
+
+
+@pytest.fixture()
+def cpu_pinmem(monkeypatch):
+    real = torch.tensor
+
+    def no_pin(*args, **kwargs):
+        kwargs.pop("pin_memory", None)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(torch, "tensor", no_pin)
+
+
+def test_man_pth_import(x):
+    mod = _load_ref_arch("man_arch")
+    m = mod.man(n_resblocks=2, n_feats=24).eval()
+    _compare(m, "man", {"n_resblocks": 2, "n_feats": 24}, _state_dict_np(m), x)
+
+
+def test_man_multigroup_pth_import(x):
+    mod = _load_ref_arch("man_arch")
+    m = mod.man(n_resblocks=1, n_resgroups=2, n_feats=24).eval()
+    _compare(m, "man", {"n_resblocks": 1, "n_resgroups": 2, "n_feats": 24},
+             _state_dict_np(m), x)
+
+
+@pytest.mark.parametrize("ups", ["ps", "gps", "dys"])
+def test_mosr_pth_import(x, ups, cpu_pinmem):
+    mod = _load_ref_arch("mosr_arch")
+    m = mod.mosr(n_block=2, dim=16, upsampler=ups).eval()
+    _compare(m, "mosr", {"n_block": 2, "dim": 16, "upsampler": ups},
+             _state_dict_np(m), x, atol=1e-4)
+
+
+def test_safmn_pth_import(x):
+    mod = _load_ref_arch("safmn_arch")
+    m = mod.safmn(dim=16, n_blocks=2).eval()
+    _compare(m, "safmn", {"dim": 16, "n_blocks": 2}, _state_dict_np(m), x)
+
+
+def test_light_safmnpp_pth_import(x):
+    mod = _load_ref_arch("safmn_arch")
+    m = mod.light_safmnpp(dim=16, n_blocks=2).eval()
+    _compare(m, "light_safmnpp", {"dim": 16, "n_blocks": 2},
+             _state_dict_np(m), x, atol=1e-4)
+
+
+def test_eimn_pth_import(x):
+    mod = _load_ref_arch("eimn_arch")
+    # train(): our BatchStatNorm uses batch statistics = torch BN train mode
+    # (fresh running stats would also match, but train() is the honest mode)
+    m = mod.eimn(embed_dims=16, num_stages=2, depths=1).train()
+    _compare(m, "eimn", {"embed_dims": 16, "num_stages": 2, "depths": 1},
+             _state_dict_np(m), x, atol=1e-4)
+
+
+def test_ditn_pth_import(x):
+    mod = _load_ref_arch("ditn_arch")
+    m = mod.ditn(ITL_blocks=2, SAL_blocks=2, UFONE_blocks=1, patch_size=8).eval()
+    _compare(
+        m, "ditn", {"ITL_blocks": 2, "SAL_blocks": 2, "UFONE_blocks": 1,
+                    "patch_size": 8},
+        _state_dict_np(m), x, atol=1e-4,
+    )
