@@ -49,7 +49,7 @@ def build_network(opt: dict[str, Any], scale: int | None = None, dtype: Any = No
 
     fields = getattr(cls_or_fn, "__dataclass_fields__", {})
     if scale is not None:
-        for field in ("upscale", "scale", "upscaling_factor"):
+        for field in ("upscale", "scale", "upscaling_factor", "upscale_factor"):
             if field in fields and field not in opt:
                 opt[field] = scale
     if dtype is not None and "dtype" in fields and "dtype" not in opt:

@@ -516,8 +516,12 @@ def family(arch_type: str) -> str | None:
     return None
 
 
-def convert_state_dict(sd: dict[str, Any], arch_type: str) -> dict[str, Any]:
-    """Flat torch state_dict -> nested flax param tree for `arch_type`."""
+def convert_state_dict(
+    sd: dict[str, Any], arch_type: str, scale: int = 4
+) -> dict[str, Any]:
+    """Flat torch state_dict -> nested flax param tree for `arch_type`.
+    `scale` disambiguates converters whose mapping depends on the upsampler
+    stage actually in use (msdan)."""
     converters = _all_converters()
     fam = family(arch_type)
     if fam is None:
@@ -528,7 +532,10 @@ def convert_state_dict(sd: dict[str, Any], arch_type: str) -> dict[str, Any]:
         )
         raise ValueError(msg)
     sd_np = {k: np.asarray(v) for k, v in sd.items()}
-    flat = converters[fam](sd_np)
+    if fam == "msdan":
+        flat = converters[fam](sd_np, scale=scale)
+    else:
+        flat = converters[fam](sd_np)
     return unflatten_params(flat)
 
 

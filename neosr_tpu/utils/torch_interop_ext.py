@@ -296,6 +296,35 @@ def convert_ditn(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+# ---------------------------------------------------------------- msdan
+
+
+def convert_msdan(sd: dict[str, np.ndarray], scale: int = 4) -> dict[str, np.ndarray]:
+    """MSDAN (reference msdan_arch.py:32-464).  Our modules carry the
+    reference attribute names, so this is a key-syntax rewrite; the
+    reference constructs BOTH x2 and x3 upsampler stages and uses only the
+    one matching `scale` — unused stages are dropped."""
+    skip = {"BSConv_3", "BSConv1_3"} if scale in (2, 4) else {"BSConv_2", "BSConv1_2"}
+    out: dict[str, np.ndarray] = {}
+    for key, val in sd.items():
+        parts = key.split(".")
+        if parts[0] == "layers":  # layers.{i}.EBFB... -> DFEB_{i}.EBFB...
+            parts[0:2] = [f"DFEB_{parts[1]}"]
+        elif parts[0] == "upsampler":
+            if parts[1] in skip:
+                continue
+            parts = parts[1:]
+        if parts[-1] == "weight" and val.ndim == 4:
+            val = _k(val)
+            parts[-1] = "kernel"
+            if parts[-2] != "dw":  # dw is a bare nn.Conv; others wrap Conv_0
+                parts.insert(-1, "Conv_0")
+        elif parts[-1] == "bias" and parts[-2] != "dw":
+            parts.insert(-1, "Conv_0")
+        out[".".join(parts)] = val
+    return out
+
+
 EXT_CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "man": convert_man,
     "mosr": convert_mosr,
@@ -303,4 +332,5 @@ EXT_CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "light_safmnpp": convert_light_safmnpp,
     "eimn": convert_eimn,
     "ditn": convert_ditn,
+    "msdan": convert_msdan,
 }

@@ -80,3 +80,21 @@ def test_ditn_pth_import(x):
                     "patch_size": 8},
         _state_dict_np(m), x, atol=1e-4,
     )
+
+
+@pytest.mark.parametrize("scale", [4, 3])
+def test_msdan_pth_import(x, scale):
+    mod = _load_ref_arch("msdan_arch")
+    m = mod.msdan(channels=16, num_DFEB=2, upscale_factor=scale).eval()
+    from neosr_tpu.utils.torch_interop import convert_state_dict
+    import jax, jax.numpy as jnp
+    from neosr_tpu.archs import build_network
+
+    params = convert_state_dict(_state_dict_np(m), "msdan", scale=scale)
+    net = build_network({"type": "msdan", "channels": 16, "num_DFEB": 2}, scale=scale)
+    ours = jax.jit(lambda p, xx: net.apply({"params": p}, xx))(params, jnp.asarray(x))
+    with torch.no_grad():
+        theirs = m(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy().transpose(0, 2, 3, 1), atol=1e-4, rtol=1e-4
+    )
