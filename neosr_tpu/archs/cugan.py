@@ -33,8 +33,11 @@ def _conv(x, ch, k, s=1, dtype=jnp.float32):
 
 
 def _deconv(x, ch, k, s, crop, dtype=jnp.float32):
+    # precision="highest": XLA's default conv_transpose lowers inputs on
+    # some backends (~5e-4 error vs torch); full precision keeps checkpoint
+    # import exact.  Under bf16 dtype this is the normal TPU conv anyway.
     y = nn.ConvTranspose(ch, (k, k), (s, s), padding="VALID", dtype=dtype,
-                         param_dtype=jnp.float32)(x)
+                         param_dtype=jnp.float32, precision="highest")(x)
     return _crop(y, crop) if crop else y
 
 

@@ -296,6 +296,63 @@ def convert_ditn(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+# ---------------------------------------------------------------- cugan
+
+
+def _put_deconv(out: dict, key_prefix: str, sd: dict, tp: str, used: set) -> None:
+    """torch ConvTranspose2d (in,out,kh,kw) -> flax ConvTranspose kernel
+    (kh,kw,in,out) with spatial flip (verified-exact mapping)."""
+    w = sd[f"{tp}.weight"]
+    out[f"{key_prefix}.kernel"] = np.ascontiguousarray(
+        np.transpose(w, (2, 3, 0, 1))[::-1, ::-1]
+    )
+    used.add(f"{tp}.weight")
+    if f"{tp}.bias" in sd:
+        out[f"{key_prefix}.bias"] = sd[f"{tp}.bias"]
+        used.add(f"{tp}.bias")
+
+
+def convert_cugan(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Real-CUGAN (reference cugan_arch.py:12-332): unet1 (UNet1/UNet1x3) +
+    unet2 + optional conv_final (scale 4); `pro` buffer is a marker only."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+
+    def unet_conv(sc: str, tp: str) -> None:
+        _put_raw_conv(out, f"{sc}.Conv_0", sd, f"{tp}.conv.0", used)
+        _put_raw_conv(out, f"{sc}.Conv_1", sd, f"{tp}.conv.2", used)
+        if f"{tp}.seblock.conv1.weight" in sd:
+            _put_raw_conv(out, f"{sc}.SEBlock_0.Conv_0", sd, f"{tp}.seblock.conv1", used)
+            _put_raw_conv(out, f"{sc}.SEBlock_0.Conv_1", sd, f"{tp}.seblock.conv2", used)
+
+    u1 = "UNet1_0"
+    unet_conv(f"{u1}.UNetConv_0", "unet1.conv1")
+    _put_raw_conv(out, f"{u1}.Conv_0", sd, "unet1.conv1_down", used)
+    unet_conv(f"{u1}.UNetConv_1", "unet1.conv2")
+    _put_deconv(out, f"{u1}.ConvTranspose_0", sd, "unet1.conv2_up", used)
+    _put_raw_conv(out, f"{u1}.Conv_1", sd, "unet1.conv3", used)
+    if sd["unet1.conv_bottom.weight"].shape[-1] >= 4:  # deconv k4 (x2/x4) / k5 (x3)
+        _put_deconv(out, f"{u1}.ConvTranspose_1", sd, "unet1.conv_bottom", used)
+    else:
+        _put_raw_conv(out, f"{u1}.Conv_2", sd, "unet1.conv_bottom", used)
+
+    u2 = "UNet2_0"
+    unet_conv(f"{u2}.UNetConv_0", "unet2.conv1")
+    _put_raw_conv(out, f"{u2}.Conv_0", sd, "unet2.conv1_down", used)
+    unet_conv(f"{u2}.UNetConv_1", "unet2.conv2")
+    _put_raw_conv(out, f"{u2}.Conv_1", sd, "unet2.conv2_down", used)
+    unet_conv(f"{u2}.UNetConv_2", "unet2.conv3")
+    _put_deconv(out, f"{u2}.ConvTranspose_0", sd, "unet2.conv3_up", used)
+    unet_conv(f"{u2}.UNetConv_3", "unet2.conv4")
+    _put_deconv(out, f"{u2}.ConvTranspose_1", sd, "unet2.conv4_up", used)
+    _put_raw_conv(out, f"{u2}.Conv_2", sd, "unet2.conv5", used)
+    _put_raw_conv(out, f"{u2}.Conv_3", sd, "unet2.conv_bottom", used)
+
+    if "conv_final.weight" in sd:  # scale 4 head
+        _put_raw_conv(out, "Conv_0", sd, "conv_final", used)
+    return out
+
+
 # ---------------------------------------------------------------- msdan
 
 
@@ -333,4 +390,5 @@ EXT_CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "eimn": convert_eimn,
     "ditn": convert_ditn,
     "msdan": convert_msdan,
+    "cugan": convert_cugan,
 }

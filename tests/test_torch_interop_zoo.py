@@ -98,3 +98,13 @@ def test_msdan_pth_import(x, scale):
     np.testing.assert_allclose(
         np.asarray(ours), theirs.numpy().transpose(0, 2, 3, 1), atol=1e-4, rtol=1e-4
     )
+
+
+@pytest.mark.parametrize("scale,pro", [(2, False), (3, False), (4, True)])
+def test_cugan_pth_import(scale, pro):
+    mod = _load_ref_arch("cugan_arch")
+    m = mod.cugan(scale=scale, pro=pro).eval()
+    # cugan pads 14-19px reflect internally: needs a real-sized input
+    x = np.random.default_rng(2).random((1, 24, 24, 3)).astype(np.float32)
+    _compare(m, "cugan", {"scale": scale, "pro": pro}, _state_dict_np(m),
+             x, atol=2e-4)
