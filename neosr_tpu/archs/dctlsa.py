@@ -70,6 +70,10 @@ class LinearWindowAttention(nn.Module):
 
 
 class SwinTBlock(nn.Module):
+    """One SwinTransformerBlock (dctlsa_arch.py:227-293): attention REPLACES
+    the input (the `shortcut` variable is computed but unused in the
+    reference), then an MLP residual; no per-block LayerNorms."""
+
     dim: int
     num_heads: int
     window_size: int = 16
@@ -79,11 +83,9 @@ class SwinTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h, w = x.shape[1], x.shape[2]
-        win = min(self.window_size, h, w)
-        shift = self.shift if win == self.window_size else 0
+        shift = self.shift
         sx = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
-        sx = LinearWindowAttention(self.dim, win, self.num_heads,
+        sx = LinearWindowAttention(self.dim, self.window_size, self.num_heads,
                                    dtype=self.dtype)(sx)
         x = jnp.roll(sx, (shift, shift), axis=(1, 2)) if shift else sx
         hdim = int(self.dim * self.mlp_ratio)
@@ -93,15 +95,44 @@ class SwinTBlock(nn.Module):
         return x + y
 
 
+class SwinT(nn.Module):
+    """SwinT = BasicLayer depth 2 (dctlsa_arch.py:140-225): reflect-pad to
+    the window multiple, ONE patch-embed LayerNorm, a non-shifted then a
+    shifted block (no attention mask), crop back."""
+
+    nf: int
+    num_head: int
+    window_size: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        win = self.window_size
+        ph, pw = (-h) % win, (-w) % win
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
+        for i in range(2):
+            x = SwinTBlock(self.nf, self.num_head, win,
+                           shift=0 if i % 2 == 0 else win // 2,
+                           dtype=self.dtype)(x)
+        if ph or pw:
+            x = x[:, :h, :w, :]
+        return x
+
+
 class LSAB(nn.Module):
+    """LSAB = 2 x SwinT = 4 attention blocks (dctlsa_arch.py:12-21)."""
+
     nf: int
     num_head: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = SwinTBlock(self.nf, self.num_head, shift=0, dtype=self.dtype)(x)
-        return SwinTBlock(self.nf, self.num_head, shift=8, dtype=self.dtype)(x)
+        x = SwinT(self.nf, self.num_head, dtype=self.dtype)(x)
+        return SwinT(self.nf, self.num_head, dtype=self.dtype)(x)
 
 
 @ARCH_REGISTRY.register()

@@ -296,6 +296,48 @@ def convert_ditn(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+# ---------------------------------------------------------------- dctlsa
+
+
+def convert_dctlsa(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """DCTLSA (reference dctlsa_arch.py:12-593): B1..B6 LSAB groups (2 SwinT
+    x 2 blocks), dense-fusion 1x1 convs c1..c5 + c, LR_conv, pixel-shuffle
+    upsampler.  BatchNorm running stats dropped (batch-statistics mode)."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+    _put_conv(out, "Conv2d_0", sd, "fea_conv", used)
+    n_groups = len({k.split(".")[0] for k in sd if re.match(r"B\d+\.", k)})
+    for g in range(n_groups):
+        for i in range(2):  # SwinT per LSAB
+            tp = f"B{g + 1}.body.{i}.transformer_body.0"
+            sc = f"LSAB_{g}.SwinT_{i}"
+            _put_ln(out, f"{sc}.patch_norm", sd, f"{tp}.patch_embed.norm", used)
+            for j in range(2):  # blocks per SwinT
+                btp = f"{tp}.blocks.{j}"
+                bsc = f"{sc}.SwinTBlock_{j}"
+                attn = f"{bsc}.LinearWindowAttention_0"
+                _put_dense(out, f"{attn}.Dense_0", sd, f"{btp}.attn.qkv", used)
+                _put_dense(out, f"{attn}.Dense_1", sd, f"{btp}.attn.proj", used)
+                loc = f"{attn}.LocalModule_0"
+                for n in range(2):
+                    out[f"{loc}.BatchStatNorm_{n}.scale"] = sd[
+                        f"{btp}.attn.local.pointwise_prenorm_{n}.weight"]
+                    out[f"{loc}.BatchStatNorm_{n}.bias"] = sd[
+                        f"{btp}.attn.local.pointwise_prenorm_{n}.bias"]
+                    _put_conv(out, f"{loc}.Conv2d_{n}", sd,
+                              f"{btp}.attn.local.pointwise_conv_{n}", used)
+                _put_raw_conv(out, f"{loc}.Conv_0", sd,
+                              f"{btp}.attn.local.depthwise_conv", used)
+                _put_dense(out, f"{bsc}.Dense_0", sd, f"{btp}.mlp.fc1", used)
+                _put_dense(out, f"{bsc}.Dense_1", sd, f"{btp}.mlp.fc2", used)
+    for n in range(1, n_groups):  # c1..c5
+        _put_conv(out, f"Conv2d_{n}", sd, f"c{n}.0", used)
+    _put_conv(out, f"Conv2d_{n_groups}", sd, "c.0", used)
+    _put_conv(out, f"Conv2d_{n_groups + 1}", sd, "LR_conv", used)
+    _put_conv(out, f"Conv2d_{n_groups + 2}", sd, "upsampler.0", used)
+    return out
+
+
 # ---------------------------------------------------------------- cugan
 
 
@@ -391,4 +433,5 @@ EXT_CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "ditn": convert_ditn,
     "msdan": convert_msdan,
     "cugan": convert_cugan,
+    "dctlsa": convert_dctlsa,
 }

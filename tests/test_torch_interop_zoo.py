@@ -108,3 +108,12 @@ def test_cugan_pth_import(scale, pro):
     x = np.random.default_rng(2).random((1, 24, 24, 3)).astype(np.float32)
     _compare(m, "cugan", {"scale": scale, "pro": pro}, _state_dict_np(m),
              x, atol=2e-4)
+
+
+def test_dctlsa_pth_import(x):
+    mod = _load_ref_arch("dctlsa_arch")
+    # train(): BatchNorm batch-statistics mode; keep Dropout2d inactive
+    m = mod.dctlsa(nf=16, num_head=2).train()
+    m.dropout.eval()
+    _compare(m, "dctlsa", {"nf": 16, "num_head": 2}, _state_dict_np(m),
+             x, atol=1e-4)
