@@ -105,7 +105,9 @@ class SpatialAttentionBranch(nn.Module):
         q, k, v = qkv[0], qkv[1], qkv[2]
 
         biases, idx = rect_rel_coords(self.hs, self.ws)
-        pos = DynamicPosBias(self.dim // 4, self.num_heads, self.dtype)(
+        # reference passes dim//4 and DynamicPosBias divides by 4 AGAIN
+        # (dat_arch.py:135,216) -> hidden width = branch_dim // 16
+        pos = DynamicPosBias(max(self.dim // 16, 1), self.num_heads, self.dtype)(
             jnp.asarray(biases))
         bias = pos[idx.reshape(-1)].reshape(n, n, self.num_heads).transpose(2, 0, 1)
 

@@ -296,6 +296,94 @@ def convert_ditn(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+# ---------------------------------------------------------------- dat
+
+
+def _put_bn(out: dict, scope: str, sd: dict, tp: str, used: set) -> None:
+    """BatchNorm weight/bias -> BatchStatNorm (running stats dropped)."""
+    out[f"{scope}.scale"] = sd[f"{tp}.weight"]
+    out[f"{scope}.bias"] = sd[f"{tp}.bias"]
+    used.update((f"{tp}.weight", f"{tp}.bias"))
+
+
+def convert_dat(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """DAT (reference dat_arch.py:42-1122): alternating spatial/channel
+    axial attention blocks with AIM conv interaction, SGFN, 1conv residual
+    groups.  Derived rpe tables / relative_position_index dropped."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+    _put_conv(out, "Conv2d_0", sd, "conv_first", used)
+    _put_ln(out, "LayerNorm_0", sd, "before_RG.1", used)
+
+    groups = sorted({
+        int(m.group(1)) for key in sd if (m := re.match(r"layers\.(\d+)\.", key))
+    })
+    blk = 0
+    for g in groups:
+        depths = sorted({
+            int(m.group(1)) for key in sd
+            if (m := re.match(rf"layers\.{g}\.blocks\.(\d+)\.", key))
+        })
+        for i in depths:
+            tp, sc = f"layers.{g}.blocks.{i}", f"DATB_{blk}"
+            blk += 1
+            _put_ln(out, f"{sc}.LayerNorm_0", sd, f"{tp}.norm1", used)
+            _put_ln(out, f"{sc}.LayerNorm_1", sd, f"{tp}.norm2", used)
+            spatial = f"{tp}.attn.attns.0.pos.pos_proj.weight" in sd
+            attn = (f"{sc}.AxialSpatialAttention_0" if spatial
+                    else f"{sc}.AxialChannelAttention_0")
+            _put_dense(out, f"{attn}.Dense_0", sd, f"{tp}.attn.qkv", used)
+            _put_dense(out, f"{attn}.Dense_1", sd, f"{tp}.attn.proj", used)
+            if spatial:
+                for br in (0, 1):
+                    pos = f"{attn}.SpatialAttentionBranch_{br}.DynamicPosBias_0"
+                    ptp = f"{tp}.attn.attns.{br}.pos"
+                    _put_dense(out, f"{pos}.Dense_0", sd, f"{ptp}.pos_proj", used)
+                    for n in range(1, 4):
+                        _put_ln(out, f"{pos}.LayerNorm_{n - 1}", sd,
+                                f"{ptp}.pos{n}.0", used)
+                        _put_dense(out, f"{pos}.Dense_{n}", sd,
+                                   f"{ptp}.pos{n}.2", used)
+            else:
+                out[f"{attn}.temperature"] = sd[f"{tp}.attn.temperature"]
+            _put_raw_conv(out, f"{attn}.Conv_0", sd, f"{tp}.attn.dwconv.0", used)
+            _put_bn(out, f"{attn}.BatchStatNorm_0", sd, f"{tp}.attn.dwconv.1", used)
+            _put_conv(out, f"{attn}.Conv2d_0", sd,
+                      f"{tp}.attn.channel_interaction.1", used)
+            _put_bn(out, f"{attn}.BatchStatNorm_1", sd,
+                    f"{tp}.attn.channel_interaction.2", used)
+            _put_conv(out, f"{attn}.Conv2d_1", sd,
+                      f"{tp}.attn.channel_interaction.4", used)
+            _put_conv(out, f"{attn}.Conv2d_2", sd,
+                      f"{tp}.attn.spatial_interaction.0", used)
+            _put_bn(out, f"{attn}.BatchStatNorm_2", sd,
+                    f"{tp}.attn.spatial_interaction.1", used)
+            _put_conv(out, f"{attn}.Conv2d_3", sd,
+                      f"{tp}.attn.spatial_interaction.3", used)
+            ffn = f"{sc}.SGFN_0"
+            _put_dense(out, f"{ffn}.Dense_0", sd, f"{tp}.ffn.fc1", used)
+            _put_ln(out, f"{ffn}.LayerNorm_0", sd, f"{tp}.ffn.sg.norm", used)
+            _put_raw_conv(out, f"{ffn}.Conv_0", sd, f"{tp}.ffn.sg.conv", used)
+            _put_dense(out, f"{ffn}.Dense_1", sd, f"{tp}.ffn.fc2", used)
+        _put_conv(out, f"Conv2d_{g + 1}", sd, f"layers.{g}.conv", used)
+
+    ng = len(groups)
+    _put_ln(out, "LayerNorm_1", sd, "norm", used)
+    _put_conv(out, f"Conv2d_{ng + 1}", sd, "conv_after_body", used)
+    if "conv_before_upsample.0.weight" in sd:  # pixelshuffle
+        _put_conv(out, f"Conv2d_{ng + 2}", sd, "conv_before_upsample.0", used)
+        ups = sorted(
+            int(m.group(1)) for key in sd
+            if (m := re.fullmatch(r"upsample\.(\d+)\.weight", key))
+        )
+        for n, s in enumerate(ups):
+            _put_conv(out, f"Upsample_0.Conv2d_{n}", sd, f"upsample.{s}", used)
+        _put_conv(out, f"Conv2d_{ng + 3}", sd, "conv_last", used)
+    else:  # pixelshuffledirect
+        _put_conv(out, f"Conv2d_{ng + 2}", sd, "upsample.0", used)
+    return out
+
+
 # ---------------------------------------------------------------- dctlsa
 
 
@@ -434,4 +522,5 @@ EXT_CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "msdan": convert_msdan,
     "cugan": convert_cugan,
     "dctlsa": convert_dctlsa,
+    "dat": convert_dat,
 }

@@ -117,3 +117,24 @@ def test_dctlsa_pth_import(x):
     m.dropout.eval()
     _compare(m, "dctlsa", {"nf": 16, "num_head": 2}, _state_dict_np(m),
              x, atol=1e-4)
+
+
+@pytest.mark.parametrize("ups", ["pixelshuffle", "pixelshuffledirect"])
+def test_dat_pth_import(ups):
+    mod = _load_ref_arch("dat_arch")
+    # embed 32 -> DynamicPosBias hidden = 32//2//16 = 1 (non-degenerate;
+    # the reference collapses to width 0 below embed 32, dat_arch.py:135)
+    # train() for batch-stats BN; drop_path_rate=0 so stochastic depth
+    # (active in torch train mode) cannot perturb the comparison
+    m = mod.dat(embed_dim=32, depth=[2, 2], num_heads=[4, 4], split_size=[2, 4],
+                expansion_factor=2, img_size=16, resi_connection="1conv",
+                drop_path_rate=0.0, upsampler=ups).train()
+    # batch 2: torch BatchNorm train mode rejects 1-value-per-channel
+    # inputs (the pooled channel_interaction path)
+    x = np.random.default_rng(3).random((2, 16, 16, 3)).astype(np.float32)
+    _compare(
+        m, "dat",
+        {"embed_dim": 32, "depth": (2, 2), "num_heads": (4, 4),
+         "split_size": (2, 4), "expansion_factor": 2, "upsampler": ups},
+        _state_dict_np(m), x, atol=1e-4,
+    )
