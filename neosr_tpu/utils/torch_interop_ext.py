@@ -296,6 +296,57 @@ def convert_ditn(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+# ---------------------------------------------------------------- drct
+
+
+def _put_swinblock(out: dict, sc: str, sd: dict, tp: str, used: set) -> None:
+    """One swin_util.SwinBlock <- reference swin-style block keys
+    (norm1/norm2, attn.{qkv,proj,relative_position_bias_table}, mlp.fc1/2)."""
+    _put_ln(out, f"{sc}.LayerNorm_0", sd, f"{tp}.norm1", used)
+    _put_ln(out, f"{sc}.LayerNorm_1", sd, f"{tp}.norm2", used)
+    wa = f"{sc}.WindowAttention_0"
+    _put_dense(out, f"{wa}.Dense_0", sd, f"{tp}.attn.qkv", used)
+    _put_dense(out, f"{wa}.Dense_1", sd, f"{tp}.attn.proj", used)
+    out[f"{wa}.relative_position_bias_table"] = sd[
+        f"{tp}.attn.relative_position_bias_table"]
+    _put_dense(out, f"{sc}.Mlp_0.Dense_0", sd, f"{tp}.mlp.fc1", used)
+    _put_dense(out, f"{sc}.Mlp_0.Dense_1", sd, f"{tp}.mlp.fc2", used)
+
+
+def convert_drct(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """DRCT (reference drct_arch.py:237-956): RDGs of 5 dense swin blocks
+    with adjust 1x1 convs; pixel-shuffle head."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+    _put_conv(out, "Conv2d_0", sd, "conv_first", used)
+    if "patch_embed.norm.weight" in sd:
+        _put_ln(out, "LayerNorm_0", sd, "patch_embed.norm", used)
+    groups = sorted({
+        int(m.group(1)) for key in sd if (m := re.match(r"layers\.(\d+)\.", key))
+    })
+    for g in groups:
+        for k in range(1, 6):
+            _put_swinblock(out, f"RDG_{g}.SwinBlock_{k - 1}", sd,
+                           f"layers.{g}.swin{k}", used)
+            _put_conv(out, f"RDG_{g}.Conv2d_{k - 1}", sd,
+                      f"layers.{g}.adjust{k}", used)
+    ng = len(groups)
+    _put_ln(out, "LayerNorm_1", sd, "norm", used)
+    _put_conv(out, "Conv2d_1", sd, "conv_after_body", used)
+    if "conv_before_upsample.0.weight" in sd:
+        _put_conv(out, "Conv2d_2", sd, "conv_before_upsample.0", used)
+        ups = sorted(
+            int(m.group(1)) for key in sd
+            if (m := re.fullmatch(r"upsample\.(\d+)\.weight", key))
+        )
+        for n, s in enumerate(ups):
+            _put_conv(out, f"Upsample_0.Conv2d_{n}", sd, f"upsample.{s}", used)
+        _put_conv(out, "Conv2d_3", sd, "conv_last", used)
+    else:
+        _put_conv(out, "Conv2d_2", sd, "upsample.0", used)
+    return out
+
+
 # ---------------------------------------------------------------- dat
 
 
@@ -523,4 +574,5 @@ EXT_CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "cugan": convert_cugan,
     "dctlsa": convert_dctlsa,
     "dat": convert_dat,
+    "drct": convert_drct,
 }

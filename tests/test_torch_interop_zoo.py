@@ -138,3 +138,16 @@ def test_dat_pth_import(ups):
          "split_size": (2, 4), "expansion_factor": 2, "upsampler": ups},
         _state_dict_np(m), x, atol=1e-4,
     )
+
+
+def test_drct_pth_import(x):
+    mod = _load_ref_arch("drct_arch")
+    m = mod.drct(embed_dim=16, depths=[2, 2], num_heads=[2, 2], window_size=8,
+                 gc=8, img_size=16, mlp_ratio=1, drop_path_rate=0.0,
+                 upsampler="pixelshuffle").eval()
+    _compare(
+        m, "drct",
+        {"embed_dim": 16, "depths": (2, 2), "num_heads": (2, 2),
+         "window_size": 8, "gc": 8, "mlp_ratio": 1, "upsampler": "pixelshuffle"},
+        _state_dict_np(m), x, atol=1e-4,
+    )
