@@ -347,6 +347,61 @@ def convert_drct(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+# ---------------------------------------------------------------- srformer
+
+
+def convert_srformer(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """SRFormer (reference srformer_arch.py:124-1263): PSA blocks (separate
+    q and 2x-compressed kv projections), ConvFFN with k5 depthwise."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+    _put_conv(out, "Conv2d_0", sd, "conv_first", used)
+    if "patch_embed.norm.weight" in sd:
+        _put_ln(out, "LayerNorm_0", sd, "patch_embed.norm", used)
+    groups = sorted({
+        int(m.group(1)) for key in sd if (m := re.match(r"layers\.(\d+)\.", key))
+    })
+    blk = 0
+    for g in groups:
+        depths = sorted({
+            int(m.group(1)) for key in sd
+            if (m := re.match(rf"layers\.{g}\.residual_group\.blocks\.(\d+)\.", key))
+        })
+        for i in depths:
+            tp = f"layers.{g}.residual_group.blocks.{i}"
+            sc = f"PSABlock_{blk}"
+            blk += 1
+            _put_ln(out, f"{sc}.LayerNorm_0", sd, f"{tp}.norm1", used)
+            _put_ln(out, f"{sc}.LayerNorm_1", sd, f"{tp}.norm2", used)
+            psa = f"{sc}.PSA_0"
+            _put_dense(out, f"{psa}.Dense_0", sd, f"{tp}.attn.kv", used)
+            _put_dense(out, f"{psa}.Dense_1", sd, f"{tp}.attn.q", used)
+            _put_dense(out, f"{psa}.Dense_2", sd, f"{tp}.attn.proj", used)
+            out[f"{psa}.relative_position_bias_table"] = sd[
+                f"{tp}.attn.relative_position_bias_table"]
+            ffn = f"{sc}.ConvFFN_0"
+            _put_dense(out, f"{ffn}.Dense_0", sd, f"{tp}.mlp.fc1", used)
+            _put_raw_conv(out, f"{ffn}.Conv_0", sd,
+                          f"{tp}.mlp.dwconv.depthwise_conv.0", used)
+            _put_dense(out, f"{ffn}.Dense_1", sd, f"{tp}.mlp.fc2", used)
+        _put_conv(out, f"Conv2d_{g + 1}", sd, f"layers.{g}.conv", used)
+    ng = len(groups)
+    _put_ln(out, "LayerNorm_1", sd, "norm", used)
+    _put_conv(out, f"Conv2d_{ng + 1}", sd, "conv_after_body", used)
+    if "conv_before_upsample.0.weight" in sd:
+        _put_conv(out, f"Conv2d_{ng + 2}", sd, "conv_before_upsample.0", used)
+        ups = sorted(
+            int(m.group(1)) for key in sd
+            if (m := re.fullmatch(r"upsample\.(\d+)\.weight", key))
+        )
+        for n, s in enumerate(ups):
+            _put_conv(out, f"Upsample_0.Conv2d_{n}", sd, f"upsample.{s}", used)
+        _put_conv(out, f"Conv2d_{ng + 3}", sd, "conv_last", used)
+    else:
+        _put_conv(out, f"Conv2d_{ng + 2}", sd, "upsample.0", used)
+    return out
+
+
 # ---------------------------------------------------------------- dat
 
 
@@ -575,4 +630,5 @@ EXT_CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "dctlsa": convert_dctlsa,
     "dat": convert_dat,
     "drct": convert_drct,
+    "srformer": convert_srformer,
 }

@@ -151,3 +151,17 @@ def test_drct_pth_import(x):
          "window_size": 8, "gc": 8, "mlp_ratio": 1, "upsampler": "pixelshuffle"},
         _state_dict_np(m), x, atol=1e-4,
     )
+
+
+@pytest.mark.parametrize("ups", ["pixelshuffle", "pixelshuffledirect"])
+def test_srformer_pth_import(x, ups):
+    mod = _load_ref_arch("srformer_arch")
+    m = mod.srformer(embed_dim=16, depths=[2, 2], num_heads=[2, 2],
+                     window_size=8, img_size=16, mlp_ratio=1,
+                     upsampler=ups).eval()
+    _compare(
+        m, "srformer",
+        {"embed_dim": 16, "depths": (2, 2), "num_heads": (2, 2),
+         "window_size": 8, "mlp_ratio": 1, "upsampler": ups},
+        _state_dict_np(m), x, atol=1e-4,
+    )
