@@ -94,22 +94,36 @@ class RG_SA(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # (b, H, W, C)
+    def __call__(self, x, deterministic: bool = True):  # (b, H, W, C)
         b, h, w, c = x.shape
         cr = int(c * self.c_ratio)
         d_cr = cr // self.num_heads
         d = c // self.num_heads
         scale = (d * self.c_ratio) ** -0.5
 
-        # recursive 4x reduction (training-time rule, rgt_arch.py:578-586)
-        _time = max(int(math.log(max(h // 4, 1), 4)) if h >= 16 else 0,
-                    int(math.log(max(w // 4, 1), 4)) if w >= 16 else 0)
-        _time = max(_time, 1) if min(h, w) >= 16 else max(_time, 0)
+        # recursive 4x reduction with ONE shared conv applied _time times
+        # (rgt_arch.py RG_SA.forward); train rule log4(H//4), eval rule
+        # max(log4(H//16), 2) — eval reduces more for large inputs
+        if deterministic:
+            _time = max(int(math.log(max(h // 16, 1), 4)),
+                        int(math.log(max(w // 16, 1), 4)), 2)
+        else:
+            _time = max(int(math.log(max(h // 4, 1), 4)),
+                        int(math.log(max(w // 4, 1), 4)))
+        reduction = nn.Conv(c, (4, 4), (4, 4), feature_group_count=c,
+                            padding="VALID", dtype=self.dtype,
+                            param_dtype=jnp.float32)
         red = x
+        applied = 0
         for _ in range(_time):
-            red = nn.Conv(c, (4, 4), (4, 4), feature_group_count=c, padding="VALID",
-                          dtype=self.dtype, param_dtype=jnp.float32,
-                          name=f"reduction_{0}" if False else None)(red)
+            if min(red.shape[1], red.shape[2]) < 4:
+                break  # degenerate tiny input: stop before an empty map
+            red = reduction(red)
+            applied += 1
+        if applied == 0:
+            # keep the reduction params in the tree (torch always has them)
+            # regardless of input size / train-eval _time; XLA DCEs the call
+            _ = reduction(jnp.zeros((1, 4, 4, c), x.dtype))
         red = nn.Conv(c, (3, 3), feature_group_count=c, padding=1,
                       dtype=self.dtype, param_dtype=jnp.float32)(red)
         red = Conv2d(cr, 1, padding=0, dtype=self.dtype)(red)
@@ -171,7 +185,7 @@ class RGTBlock(nn.Module):
                         self.qkv_bias, self.dtype)(h)
         else:
             attn = RG_SA(self.dim, self.num_heads, self.qkv_bias,
-                         self.c_ratio, self.dtype)(h)
+                         self.c_ratio, self.dtype)(h, deterministic)
         x = x + DropPath(self.drop_path)(attn, deterministic=deterministic)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         y = SGFN(self.dim, int(self.dim * self.mlp_ratio), self.dtype)(y)

@@ -347,6 +347,77 @@ def convert_drct(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+# ---------------------------------------------------------------- rgt
+
+
+def convert_rgt(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """RGT (reference rgt_arch.py:43-960): alternating L_SA (dual rect
+    windows + DynamicPosBias + LePE) and RG_SA (recursive shared-conv
+    reduction), SGFN, per-block HAI gamma."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+    _put_conv(out, "Conv2d_0", sd, "conv_first", used)
+    _put_ln(out, "LayerNorm_0", sd, "before_RG.1", used)
+    groups = sorted({
+        int(m.group(1)) for key in sd if (m := re.match(r"layers\.(\d+)\.", key))
+    })
+    blk = 0
+    for g in groups:
+        depths = sorted({
+            int(m.group(1)) for key in sd
+            if (m := re.match(rf"layers\.{g}\.blocks\.(\d+)\.", key))
+        })
+        for i in depths:
+            tp, sc = f"layers.{g}.blocks.{i}", f"RGTBlock_{blk}"
+            blk += 1
+            out[f"{sc}.gamma"] = sd[f"{tp}.gamma"]
+            _put_ln(out, f"{sc}.LayerNorm_0", sd, f"{tp}.norm1", used)
+            _put_ln(out, f"{sc}.LayerNorm_1", sd, f"{tp}.norm2", used)
+            if f"{tp}.attn.get_v.weight" in sd:  # L_SA (even blocks)
+                attn = f"{sc}.L_SA_0"
+                _put_dense(out, f"{attn}.Dense_0", sd, f"{tp}.attn.qkv", used)
+                _put_dense(out, f"{attn}.Dense_1", sd, f"{tp}.attn.proj", used)
+                _put_raw_conv(out, f"{attn}.Conv_0", sd, f"{tp}.attn.get_v", used)
+                for br in (0, 1):
+                    pos = f"{attn}.SpatialAttentionBranch_{br}.DynamicPosBias_0"
+                    ptp = f"{tp}.attn.attns.{br}.pos"
+                    _put_dense(out, f"{pos}.Dense_0", sd, f"{ptp}.pos_proj", used)
+                    for n in range(1, 4):
+                        _put_ln(out, f"{pos}.LayerNorm_{n - 1}", sd,
+                                f"{ptp}.pos{n}.0", used)
+                        _put_dense(out, f"{pos}.Dense_{n}", sd,
+                                   f"{ptp}.pos{n}.2", used)
+            else:  # RG_SA (odd blocks)
+                attn = f"{sc}.RG_SA_0"
+                _put_raw_conv(out, f"{attn}.Conv_0", sd, f"{tp}.attn.reduction1", used)
+                _put_raw_conv(out, f"{attn}.Conv_1", sd, f"{tp}.attn.dwconv", used)
+                _put_conv(out, f"{attn}.Conv2d_0", sd, f"{tp}.attn.conv", used)
+                _put_ln(out, f"{attn}.LayerNorm_0", sd, f"{tp}.attn.norm_act.0", used)
+                _put_dense(out, f"{attn}.Dense_0", sd, f"{tp}.attn.q", used)
+                _put_dense(out, f"{attn}.Dense_1", sd, f"{tp}.attn.k", used)
+                _put_dense(out, f"{attn}.Dense_2", sd, f"{tp}.attn.v", used)
+                _put_raw_conv(out, f"{attn}.Conv_2", sd, f"{tp}.attn.cpe", used)
+                _put_dense(out, f"{attn}.Dense_3", sd, f"{tp}.attn.proj", used)
+            ffn = f"{sc}.SGFN_0"
+            _put_dense(out, f"{ffn}.Dense_0", sd, f"{tp}.mlp.fc1", used)
+            _put_ln(out, f"{ffn}.LayerNorm_0", sd, f"{tp}.mlp.sg.norm", used)
+            _put_raw_conv(out, f"{ffn}.Conv_0", sd, f"{tp}.mlp.sg.conv", used)
+            _put_dense(out, f"{ffn}.Dense_1", sd, f"{tp}.mlp.fc2", used)
+        _put_conv(out, f"Conv2d_{g + 1}", sd, f"layers.{g}.conv", used)
+    ng = len(groups)
+    _put_ln(out, "LayerNorm_1", sd, "norm", used)
+    _put_conv(out, f"Conv2d_{ng + 1}", sd, "conv_after_body", used)
+    _put_conv(out, f"Conv2d_{ng + 2}", sd, "conv_before_upsample.0", used)
+    ups = sorted(
+        int(m.group(1)) for key in sd
+        if (m := re.fullmatch(r"upsample\.(\d+)\.weight", key))
+    )
+    for n, s in enumerate(ups):
+        _put_conv(out, f"Upsample_0.Conv2d_{n}", sd, f"upsample.{s}", used)
+    _put_conv(out, f"Conv2d_{ng + 3}", sd, "conv_last", used)
+    return out
+
+
 # ---------------------------------------------------------------- srformer
 
 
@@ -631,4 +702,5 @@ EXT_CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "dat": convert_dat,
     "drct": convert_drct,
     "srformer": convert_srformer,
+    "rgt": convert_rgt,
 }

@@ -165,3 +165,28 @@ def test_srformer_pth_import(x, ups):
          "window_size": 8, "mlp_ratio": 1, "upsampler": ups},
         _state_dict_np(m), x, atol=1e-4,
     )
+
+
+def test_rgt_pth_import():
+    mod = _load_ref_arch("rgt_arch")
+    # train(): matches our non-deterministic _time rule; drop_path 0
+    m = mod.rgt(embed_dim=32, depth=[2, 2], num_heads=[4, 4], split_size=[4, 4],
+                img_size=16, mlp_ratio=1, c_ratio=0.5, drop_path_rate=0.0).train()
+    x = np.random.default_rng(5).random((2, 16, 16, 3)).astype(np.float32)
+    from neosr_tpu.utils.torch_interop import convert_state_dict
+    from neosr_tpu.archs import build_network
+    import jax, jax.numpy as jnp
+
+    params = convert_state_dict(_state_dict_np(m), "rgt")
+    net = build_network(
+        {"type": "rgt", "embed_dim": 32, "depth": (2, 2), "num_heads": (4, 4),
+         "split_size": (4, 4), "mlp_ratio": 1, "c_ratio": 0.5,
+         "drop_path_rate": 0.0}, scale=4)
+    # deterministic=False selects the reference's train-mode _time rule
+    ours = jax.jit(lambda p, xx: net.apply({"params": p}, xx, False))(
+        params, jnp.asarray(x))
+    with torch.no_grad():
+        theirs = m(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy().transpose(0, 2, 3, 1),
+        atol=1e-4, rtol=1e-4)
