@@ -347,6 +347,79 @@ def convert_drct(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+# ---------------------------------------------------------------- omnisr
+
+
+def convert_omnisr(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """OmniSR (reference omnisr_arch.py:208-1123): OSAG groups of OSA blocks
+    (Sequential `layer` indices: 0 MBConv, 2 block-attn, 4 FFN, 5 channel
+    attn, 6 FFN, 8 grid-attn, 10 FFN, 11 grid channel attn, 12 FFN), ESA."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+    _put_conv(out, "Conv2d_0", sd, "input", used)
+    _put_conv(out, "Conv2d_1", sd, "output", used)
+    _put_conv(out, "Conv2d_2", sd, "up.0", used)
+
+    groups = sorted({
+        int(m.group(1)) for key in sd
+        if (m := re.match(r"residual_layer\.(\d+)\.", key))
+    })
+    for g in groups:
+        gp, gs = f"residual_layer.{g}", f"OSAG_{g}"
+        blocks = sorted({
+            int(m.group(1)) for key in sd
+            if (m := re.match(rf"residual_layer\.{g}\.residual_layer\.(\d+)\.layer\.", key))
+        })
+        for i in blocks:
+            tp = f"{gp}.residual_layer.{i}.layer"
+            sc = f"{gs}.OSABlock_{i}"
+            mb = f"{sc}.MBConv_0"
+            _put_conv(out, f"{mb}.Conv2d_0", sd, f"{tp}.0.fn.0", used)
+            _put_raw_conv(out, f"{mb}.Conv_0", sd, f"{tp}.0.fn.2", used)
+            se = f"{mb}.SqueezeExcitation_0"
+            _put_dense(out, f"{se}.Dense_0", sd, f"{tp}.0.fn.4.gate.1", used)
+            _put_dense(out, f"{se}.Dense_1", sd, f"{tp}.0.fn.4.gate.3", used)
+            _put_conv(out, f"{mb}.Conv2d_1", sd, f"{tp}.0.fn.5", used)
+
+            def attn(our: str, t: str) -> None:
+                _put_dense(out, f"{our}.Dense_0", sd, f"{t}.fn.to_qkv", used)
+                _put_dense(out, f"{our}.Dense_1", sd, f"{t}.fn.to_out.0", used)
+                out[f"{our}.rel_pos_bias"] = sd[f"{t}.fn.rel_pos_bias.weight"]
+
+            def ffn(our: str, t: str) -> None:
+                _put_conv(out, f"{our}.Conv2d_0", sd, f"{t}.fn.project_in", used)
+                _put_raw_conv(out, f"{our}.Conv_0", sd, f"{t}.fn.dwconv", used)
+                _put_conv(out, f"{our}.Conv2d_1", sd, f"{t}.fn.project_out", used)
+
+            def chan(our: str, t: str) -> None:
+                out[f"{our}.temperature"] = sd[f"{t}.fn.temperature"]
+                _put_conv(out, f"{our}.Conv2d_0", sd, f"{t}.fn.qkv", used)
+                _put_raw_conv(out, f"{our}.Conv_0", sd, f"{t}.fn.qkv_dwconv", used)
+                _put_conv(out, f"{our}.Conv2d_1", sd, f"{t}.fn.project_out", used)
+
+            for ln_i, layer_i in enumerate((2, 4, 5, 6, 8, 10, 11, 12)):
+                _put_ln(out, f"{sc}.LayerNorm_{ln_i}", sd,
+                        f"{tp}.{layer_i}.norm", used)
+            attn(f"{sc}.WindowAttentionPE_0", f"{tp}.2")
+            ffn(f"{sc}.GatedConvFFN_0", f"{tp}.4")
+            chan(f"{sc}.ChannelAttention_0", f"{tp}.5")
+            ffn(f"{sc}.GatedConvFFN_1", f"{tp}.6")
+            attn(f"{sc}.WindowAttentionPE_1", f"{tp}.8")
+            ffn(f"{sc}.GatedConvFFN_2", f"{tp}.10")
+            chan(f"{sc}.ChannelAttention_1", f"{tp}.11")
+            ffn(f"{sc}.GatedConvFFN_3", f"{tp}.12")
+        # the group-tail 1x1 conv sits after the last block in the Sequential
+        _put_conv(out, f"{gs}.Conv2d_0", sd,
+                  f"{gp}.residual_layer.{max(blocks) + 1}", used)
+        esa = f"{gs}.ESA_0"
+        _put_conv(out, f"{esa}.Conv2d_0", sd, f"{gp}.esa.conv1", used)
+        _put_raw_conv(out, f"{esa}.Conv_0", sd, f"{gp}.esa.conv2", used)
+        _put_conv(out, f"{esa}.Conv2d_1", sd, f"{gp}.esa.conv3", used)
+        _put_conv(out, f"{esa}.Conv2d_2", sd, f"{gp}.esa.conv_f", used)
+        _put_conv(out, f"{esa}.Conv2d_3", sd, f"{gp}.esa.conv4", used)
+    return out
+
+
 # ---------------------------------------------------------------- rgt
 
 
@@ -703,4 +776,5 @@ EXT_CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "drct": convert_drct,
     "srformer": convert_srformer,
     "rgt": convert_rgt,
+    "omnisr": convert_omnisr,
 }

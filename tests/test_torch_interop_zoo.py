@@ -190,3 +190,15 @@ def test_rgt_pth_import():
     np.testing.assert_allclose(
         np.asarray(ours), theirs.numpy().transpose(0, 2, 3, 1),
         atol=1e-4, rtol=1e-4)
+
+
+def test_omnisr_pth_import(x):
+    mod = _load_ref_arch("omnisr_arch")
+    m = mod.omnisr_net(num_feat=16, res_num=2, block_num=1, window_size=8,
+                       upsampling=4, pe=True, bias=True, ffn_bias=True).eval()
+    _compare(
+        m, "omnisr_net",
+        {"num_feat": 16, "res_num": 2, "block_num": 1, "window_size": 8,
+         "upsampling": 4, "pe": True},
+        _state_dict_np(m), x, atol=1e-4,
+    )
