@@ -130,12 +130,16 @@ class GRSAB(nn.Module):
 
         # post-norm residuals (grformer_arch.py:399-404)
         x = shortcut + nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(xs)
+        # FFN: fc1 -> gelu -> +(dw3 -> gelu -> dw3) -> fc2 (grformer_arch.py
+        # FFN/dwconv classes)
         hidden = int(self.dim * self.mlp_ratio)
         y = gelu(nn.Dense(hidden, dtype=self.dtype,
-                                 param_dtype=jnp.float32)(x))
-        dw = nn.Conv(hidden, (5, 5), feature_group_count=hidden, padding=2,
+                          param_dtype=jnp.float32)(x))
+        dw = nn.Conv(hidden, (3, 3), feature_group_count=hidden, padding=1,
                      dtype=self.dtype, param_dtype=jnp.float32)(y)
-        y = y + gelu(dw)
+        dw = nn.Conv(hidden, (3, 3), feature_group_count=hidden, padding=1,
+                     dtype=self.dtype, param_dtype=jnp.float32)(gelu(dw))
+        y = y + dw
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32)(y)
         return x + nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(y)
 
@@ -155,24 +159,32 @@ class grformer(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         mean = jnp.asarray((0.5,) * 3, x.dtype) if self.in_chans == 3 else 0.0
+        b, H0, W0, _ = x.shape
+        # reflect pad to the max-window multiple, crop at the end
+        # (grformer_arch.py check_image_size)
+        ms = max(self.window_size)
+        ph, pw = (-H0) % ms, (-W0) % ms
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
         x = (x - mean) * self.img_range
 
         feat = Conv2d(self.embed_dim, 3, dtype=self.dtype)(x)
         h = feat
         w0, w1 = self.window_size[0], self.window_size[1]
         for gi, depth in enumerate(self.depths):
-            res = h
             for i in range(depth):
-                win = (w1, w0) if (i // 2) % 2 == 1 else (w0, w1)
-                shift = (0, 0) if i % 2 == 0 else (win[0] // 2, win[1] // 2)
-                h = GRSAB(self.embed_dim, self.num_heads[gi], win, shift,
+                shift = (0, 0) if i % 2 == 0 else (w0 // 2, w1 // 2)
+                h = GRSAB(self.embed_dim, self.num_heads[gi], (w0, w1), shift,
                           self.mlp_ratio, self.dtype)(h)
-            h = Conv2d(self.embed_dim, 3, dtype=self.dtype)(h) + res
+            # group residual: conv applied to the blocks' OUTPUT and added
+            # back to it (grformer_arch.py GRSAB_Group.forward)
+            h = h + Conv2d(self.embed_dim, 3, dtype=self.dtype)(h)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(h)
-        h = h + feat
+        h = Conv2d(self.embed_dim, 3, dtype=self.dtype)(h) + feat
         h = Conv2d(self.in_chans * self.upscale**2, 3, dtype=self.dtype)(h)
         out = pixel_shuffle(h, self.upscale)
-        return out / self.img_range + mean
+        out = out / self.img_range + mean
+        return out[:, : H0 * self.upscale, : W0 * self.upscale, :]
 
 
 @ARCH_REGISTRY.register()

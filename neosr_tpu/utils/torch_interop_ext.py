@@ -347,6 +347,52 @@ def convert_drct(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+# ---------------------------------------------------------------- grformer
+
+
+def convert_grformer(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """GRFormer (reference grformer_arch.py:13-623): GRSA grouped-residual
+    q/k/v, ESRPB MLP bias (the coords table is a derived buffer), post-norm
+    blocks, group conv residual, pixelshuffledirect tail."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+    _put_conv(out, "Conv2d_0", sd, "conv_first", used)
+    groups = sorted({
+        int(m.group(1)) for key in sd if (m := re.match(r"layers\.(\d+)\.", key))
+    })
+    blk = 0
+    for g in groups:
+        depths = sorted({
+            int(m.group(1)) for key in sd
+            if (m := re.match(rf"layers\.{g}\.blocks\.(\d+)\.", key))
+        })
+        for i in depths:
+            tp, sc = f"layers.{g}.blocks.{i}", f"GRSAB_{blk}"
+            blk += 1
+            _put_ln(out, f"{sc}.LayerNorm_0", sd, f"{tp}.norm1", used)
+            _put_ln(out, f"{sc}.LayerNorm_1", sd, f"{tp}.norm2", used)
+            attn = f"{sc}.GRSA_0"
+            for name in ("q1", "q2", "k1", "k2", "v1", "v2"):
+                _put_dense(out, f"{attn}.{name}", sd, f"{tp}.attn.{name}", used)
+            out[f"{attn}.logit_scale"] = sd[f"{tp}.attn.logit_scale"]
+            _put_dense(out, f"{attn}.Dense_0", sd, f"{tp}.attn.ESRPB_MLP.0", used)
+            _put_dense(out, f"{attn}.Dense_1", sd, f"{tp}.attn.ESRPB_MLP.2", used)
+            _put_dense(out, f"{attn}.Dense_2", sd, f"{tp}.attn.proj1", used)
+            _put_dense(out, f"{attn}.Dense_3", sd, f"{tp}.attn.proj2", used)
+            _put_dense(out, f"{sc}.Dense_0", sd, f"{tp}.mlp.fc1", used)
+            _put_raw_conv(out, f"{sc}.Conv_0", sd,
+                          f"{tp}.mlp.dwconv.depthwise_conv.0", used)
+            _put_raw_conv(out, f"{sc}.Conv_1", sd,
+                          f"{tp}.mlp.dwconv.depthwise_conv.2", used)
+            _put_dense(out, f"{sc}.Dense_1", sd, f"{tp}.mlp.fc2", used)
+        _put_conv(out, f"Conv2d_{g + 1}", sd, f"layers.{g}.conv", used)
+    ng = len(groups)
+    _put_ln(out, "LayerNorm_0", sd, "norm", used)
+    _put_conv(out, f"Conv2d_{ng + 1}", sd, "conv_after_body", used)
+    _put_conv(out, f"Conv2d_{ng + 2}", sd, "upsample.0", used)
+    return out
+
+
 # ---------------------------------------------------------------- omnisr
 
 
@@ -777,4 +823,5 @@ EXT_CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "srformer": convert_srformer,
     "rgt": convert_rgt,
     "omnisr": convert_omnisr,
+    "grformer": convert_grformer,
 }

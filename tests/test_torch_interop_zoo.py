@@ -202,3 +202,18 @@ def test_omnisr_pth_import(x):
          "upsampling": 4, "pe": True},
         _state_dict_np(m), x, atol=1e-4,
     )
+
+
+def test_grformer_pth_import():
+    mod = _load_ref_arch("grformer_arch")
+    # img_size matches test input so the precomputed attn_mask path is used
+    m = mod.grformer(embed_dim=16, depths=[2, 2], num_heads=[2, 2],
+                     window_size=[4, 8], img_size=16, mlp_ratio=1,
+                     drop_path_rate=0.0).eval()
+    x = np.random.default_rng(6).random((1, 16, 16, 3)).astype(np.float32)
+    _compare(
+        m, "grformer",
+        {"embed_dim": 16, "depths": (2, 2), "num_heads": (2, 2),
+         "window_size": (4, 8), "mlp_ratio": 1},
+        _state_dict_np(m), x, atol=1e-4,
+    )
