@@ -74,7 +74,10 @@ class SCC(nn.Module):
                           preferred_element_type=jnp.float32) / float(hd)
 
         biases, idx = rect_rel_coords(wh, ww)
-        pos = DynamicPosBias(self.dim // 4, heads, self.dtype)(jnp.asarray(biases))
+        # reference passes dim//4 and DynamicPosBias divides by 4 again
+        # (hitsrf_arch.py:193,266) -> hidden width = dim // 16
+        pos = DynamicPosBias(max(self.dim // 16, 1), heads, self.dtype)(
+            jnp.asarray(biases))
         bias = pos[idx.reshape(-1)].reshape(L, L, heads)
         bias = bias.reshape(L, bh, wh // bh, bw, ww // bw, heads)
         bias = bias.transpose(0, 1, 3, 5, 2, 4).reshape(L, bh * bw, heads, -1)

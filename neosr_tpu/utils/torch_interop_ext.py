@@ -347,6 +347,71 @@ def convert_drct(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+# ---------------------------------------------------------------- hitsrf
+
+
+def convert_hitsrf(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """HiT-SR (reference hitsrf_arch.py:16-1157): SCC blocks (DFE qv,
+    spatial linear, DynamicPosBias, channel correlation), post-norm,
+    ConvFFN k5."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+    _put_conv(out, "Conv2d_0", sd, "conv_first", used)
+    if "patch_embed.norm.weight" in sd:
+        _put_ln(out, "LayerNorm_0", sd, "patch_embed.norm", used)
+    groups = sorted({
+        int(m.group(1)) for key in sd if (m := re.match(r"layers\.(\d+)\.", key))
+    })
+    blk = 0
+    for g in groups:
+        depths = sorted({
+            int(m.group(1)) for key in sd
+            if (m := re.match(rf"layers\.{g}\.residual_group\.blocks\.(\d+)\.", key))
+        })
+        for i in depths:
+            tp = f"layers.{g}.residual_group.blocks.{i}"
+            sc = f"HierarchicalBlock_{blk}"
+            blk += 1
+            _put_ln(out, f"{sc}.LayerNorm_0", sd, f"{tp}.norm1", used)
+            _put_ln(out, f"{sc}.LayerNorm_1", sd, f"{tp}.norm2", used)
+            scc = f"{sc}.SCC_0"
+            dfe = f"{scc}.DFE_0"
+            _put_conv(out, f"{dfe}.Conv2d_0", sd, f"{tp}.correlation.qv.conv.0", used)
+            _put_conv(out, f"{dfe}.Conv2d_1", sd, f"{tp}.correlation.qv.conv.2", used)
+            _put_conv(out, f"{dfe}.Conv2d_2", sd, f"{tp}.correlation.qv.conv.4", used)
+            _put_conv(out, f"{dfe}.Conv2d_3", sd, f"{tp}.correlation.qv.linear", used)
+            _put_dense(out, f"{scc}.spatial_linear", sd,
+                       f"{tp}.correlation.spatial_linear", used)
+            pos = f"{scc}.DynamicPosBias_0"
+            ptp = f"{tp}.correlation.pos"
+            _put_dense(out, f"{pos}.Dense_0", sd, f"{ptp}.pos_proj", used)
+            for n in range(1, 4):
+                _put_ln(out, f"{pos}.LayerNorm_{n - 1}", sd, f"{ptp}.pos{n}.0", used)
+                _put_dense(out, f"{pos}.Dense_{n}", sd, f"{ptp}.pos{n}.2", used)
+            _put_dense(out, f"{scc}.Dense_0", sd, f"{tp}.correlation.proj", used)
+            ffn = f"{sc}.ConvFFN_0"
+            _put_dense(out, f"{ffn}.Dense_0", sd, f"{tp}.mlp.fc1", used)
+            _put_raw_conv(out, f"{ffn}.Conv_0", sd,
+                          f"{tp}.mlp.dwconv.depthwise_conv.0", used)
+            _put_dense(out, f"{ffn}.Dense_1", sd, f"{tp}.mlp.fc2", used)
+        _put_conv(out, f"Conv2d_{g + 1}", sd, f"layers.{g}.conv", used)
+    ng = len(groups)
+    _put_ln(out, "LayerNorm_1", sd, "norm", used)
+    _put_conv(out, f"Conv2d_{ng + 1}", sd, "conv_after_body", used)
+    if "conv_before_upsample.0.weight" in sd:
+        _put_conv(out, f"Conv2d_{ng + 2}", sd, "conv_before_upsample.0", used)
+        ups = sorted(
+            int(m.group(1)) for key in sd
+            if (m := re.fullmatch(r"upsample\.(\d+)\.weight", key))
+        )
+        for n, s in enumerate(ups):
+            _put_conv(out, f"Upsample_0.Conv2d_{n}", sd, f"upsample.{s}", used)
+        _put_conv(out, f"Conv2d_{ng + 3}", sd, "conv_last", used)
+    else:
+        _put_conv(out, f"Conv2d_{ng + 2}", sd, "upsample.0", used)
+    return out
+
+
 # ---------------------------------------------------------------- grformer
 
 
@@ -824,4 +889,5 @@ EXT_CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "rgt": convert_rgt,
     "omnisr": convert_omnisr,
     "grformer": convert_grformer,
+    "hit_srf": convert_hitsrf,
 }

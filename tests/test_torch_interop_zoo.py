@@ -217,3 +217,17 @@ def test_grformer_pth_import():
          "window_size": (4, 8), "mlp_ratio": 1},
         _state_dict_np(m), x, atol=1e-4,
     )
+
+
+def test_hitsrf_pth_import(x):
+    mod = _load_ref_arch("hitsrf_arch")
+    m = mod.hit_srf(embed_dim=16, depths=[2, 2], num_heads=[2, 2],
+                    base_win_size=[4, 4], mlp_ratio=1, img_size=16,
+                    upsampler="pixelshuffledirect").eval()
+    _compare(
+        m, "hit_srf",
+        {"embed_dim": 16, "depths": (2, 2), "num_heads": (2, 2),
+         "base_win_size": (4, 4), "mlp_ratio": 1,
+         "upsampler": "pixelshuffledirect"},
+        _state_dict_np(m), x, atol=1e-4,
+    )
