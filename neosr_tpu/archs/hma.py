@@ -80,7 +80,8 @@ class FusedConv(nn.Module):
         # SE
         g = h.mean(axis=(1, 2), keepdims=True)
         rd = int(mid / self.attn_ratio)
-        g = jax.nn.relu(Conv2d(rd, 1, padding=0, dtype=self.dtype)(g))
+        # SEModule act is SiLU (hma_arch.py SEModule)
+        g = jax.nn.silu(Conv2d(rd, 1, padding=0, dtype=self.dtype)(g))
         g = jax.nn.sigmoid(Conv2d(mid, 1, padding=0, dtype=self.dtype)(g))
         h = h * g
         h = Conv2d(self.num_feat, 1, padding=0, dtype=self.dtype)(h)
@@ -139,7 +140,9 @@ class AffineTransform(nn.Module):
         attn = jnp.einsum("bhnd,bhmd->bhnm", q * (d**-0.5), k,
                           preferred_element_type=jnp.float32)
         biases, idx = rect_rel_coords(gh, gw)
-        pos = DynamicPosBias(self.dim // 4, self.num_heads, self.dtype)(
+        # reference passes dim//4 and DynamicPosBias divides by 4 again
+        # (hma_arch.py AffineTransform/DynamicPosBias) -> hidden = dim//16
+        pos = DynamicPosBias(max(self.dim // 16, 1), self.num_heads, self.dtype)(
             jnp.asarray(biases))
         n = gh * gw
         bias = pos[idx.reshape(-1)].reshape(n, n, self.num_heads).transpose(2, 0, 1)
@@ -206,20 +209,30 @@ class GAB(nn.Module):
         wa = window_reverse(wa, win, h, w)
         xw_s = jnp.roll(xw_s, (-shift, -shift), axis=(1, 2))
         mask = jnp.asarray(shift_attn_mask(h, w, win, shift)) if shift > 0 else None
+        # the reference NEVER window-partitions the shifted branch: it
+        # reshapes (b,h,w,3c/4) row-major into win*win token strips, runs
+        # attention, then re-scatters the output AS IF it were window tiles
+        # (hma_arch.py GAB.forward x_window_s path). Replicated verbatim.
         was = WindowAttentionQKV(c // 4, win, heads, self.dtype)(
-            window_partition(xw_s, win), mask)
+            xw_s.reshape(-1, win * win, (c * 3) // 4), mask)
         was = window_reverse(was, win, h, w)
+        # the reference un-rolls the shifted branch on the FLATTENED
+        # (b, h*w, c/4) view with dims=(1, 2) — i.e. it rolls the flat token
+        # axis and the CHANNEL axis by `shift` (hma_arch.py GAB.forward).
+        # Replicated verbatim for checkpoint parity.
+        was = was.reshape(b, h * w, c // 4)
         was = jnp.roll(was, (shift, shift), axis=(1, 2))
+        was = was.reshape(b, h, w, c // 4)
 
         merged = jnp.concatenate([wa, was, x_grid_attn], axis=-1)
         merged = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32)(merged)
         merged = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(merged)
 
         x = shortcut + merged
-        y2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+        # GAB FFN is POST-norm: x + norm2(mlp(x)) (hma_arch.py GAB.forward)
         y2 = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype)(
-            y2, deterministic=deterministic)
-        return x + y2
+            x, deterministic=deterministic)
+        return x + nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(y2)
 
 
 @ARCH_REGISTRY.register()
@@ -244,6 +257,11 @@ class hma(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         num_feat = 64
         mean = jnp.asarray((0.5,) * 3, x.dtype) if self.in_chans == 3 else 0.0
+        b, H0, W0, _ = x.shape
+        ms = max(self.window_size, self.interval_size)
+        ph, pw = (-H0) % ms, (-W0) % ms
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
         x = (x - mean) * self.img_range
 
         feat = Conv2d(self.embed_dim, 3, dtype=self.dtype)(x)
@@ -279,7 +297,8 @@ class hma(nn.Module):
         h = lrelu(Conv2d(num_feat, 3, dtype=self.dtype)(h), slope=0.01)  # torch default slope (conv_before_upsample)
         h = Upsample(self.upscale, num_feat, dtype=self.dtype)(h)
         out = Conv2d(self.in_chans, 3, dtype=self.dtype)(h)
-        return out / self.img_range + mean
+        out = out / self.img_range + mean
+        return out[:, : H0 * self.upscale, : W0 * self.upscale, :]
 
 
 @ARCH_REGISTRY.register()

@@ -347,6 +347,91 @@ def convert_drct(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+# ---------------------------------------------------------------- hma
+
+
+def convert_hma(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """HMA (reference hma_arch.py:265-1403): groups of FusedConv + FAB
+    blocks, one GAB (grid + dual window attention) and a learnable scale
+    per group."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+    _put_conv(out, "Conv2d_0", sd, "conv_first", used)
+    if "patch_embed.norm.weight" in sd:
+        _put_ln(out, "LayerNorm_0", sd, "patch_embed.norm", used)
+
+    def win_attn(our: str, t: str) -> None:
+        out[f"{our}.relative_position_bias_table"] = sd[
+            f"{t}.relative_position_bias_table"]
+        _put_dense(out, f"{our}.Dense_0", sd, f"{t}.proj", used)
+
+    def pos_bias(our: str, t: str) -> None:
+        _put_dense(out, f"{our}.Dense_0", sd, f"{t}.pos_proj", used)
+        for n in range(1, 4):
+            _put_ln(out, f"{our}.LayerNorm_{n - 1}", sd, f"{t}.pos{n}.0", used)
+            _put_dense(out, f"{our}.Dense_{n}", sd, f"{t}.pos{n}.2", used)
+
+    groups = sorted({
+        int(m.group(1)) for key in sd if (m := re.match(r"layers\.(\d+)\.", key))
+    })
+    n_fc = n_fab = 0
+    for g in groups:
+        gp = f"layers.{g}.residual_group"
+        idxs = sorted({
+            int(m.group(1)) for key in sd
+            if (m := re.match(rf"layers\.{g}\.residual_group\.blocks\.(\d+)\.", key))
+        })
+        for i in idxs:
+            tp = f"{gp}.blocks.{i}"
+            if f"{tp}.pre_norm.weight" in sd:  # FusedConv
+                sc = f"FusedConv_{n_fc}"
+                n_fc += 1
+                _put_ln(out, f"{sc}.LayerNorm_0", sd, f"{tp}.pre_norm", used)
+                _put_conv(out, f"{sc}.Conv2d_0", sd, f"{tp}.fused_conv", used)
+                _put_ln(out, f"{sc}.LayerNorm_1", sd, f"{tp}.norm1", used)
+                _put_conv(out, f"{sc}.Conv2d_1", sd, f"{tp}.se.fc1", used)
+                _put_conv(out, f"{sc}.Conv2d_2", sd, f"{tp}.se.fc2", used)
+                _put_conv(out, f"{sc}.Conv2d_3", sd, f"{tp}.conv3_1x1", used)
+            else:  # FAB
+                sc = f"FAB_{n_fab}"
+                n_fab += 1
+                _put_ln(out, f"{sc}.LayerNorm_0", sd, f"{tp}.norm1", used)
+                _put_dense(out, f"{sc}.Dense_0", sd, f"{tp}.qkv", used)
+                win_attn(f"{sc}.WindowAttentionQKV_0", f"{tp}.attn")
+                _put_ln(out, f"{sc}.LayerNorm_1", sd, f"{tp}.norm2", used)
+                _put_dense(out, f"{sc}.Mlp_0.Dense_0", sd, f"{tp}.mlp.fc1", used)
+                _put_dense(out, f"{sc}.Mlp_0.Dense_1", sd, f"{tp}.mlp.fc2", used)
+        gab = f"GAB_{g}"
+        _put_dense(out, f"{gab}.Dense_0", sd, f"{gp}.gab.qkv", used)
+        _put_dense(out, f"{gab}.Dense_1", sd, f"{gp}.gab.grid_proj", used)
+        pos_bias(f"{gab}.AffineTransform_0.DynamicPosBias_0",
+                 f"{gp}.gab.grid_attn.attn_transform1.pos")
+        pos_bias(f"{gab}.AffineTransform_1.DynamicPosBias_0",
+                 f"{gp}.gab.grid_attn.attn_transform2.pos")
+        win_attn(f"{gab}.WindowAttentionQKV_0", f"{gp}.gab.window_attn")
+        win_attn(f"{gab}.WindowAttentionQKV_1", f"{gp}.gab.window_attn_s")
+        _put_dense(out, f"{gab}.Dense_2", sd, f"{gp}.gab.fc", used)
+        _put_ln(out, f"{gab}.LayerNorm_0", sd, f"{gp}.gab.norm1", used)
+        _put_ln(out, f"{gab}.LayerNorm_1", sd, f"{gp}.gab.norm2", used)
+        _put_dense(out, f"{gab}.Mlp_0.Dense_0", sd, f"{gp}.gab.mlp.fc1", used)
+        _put_dense(out, f"{gab}.Mlp_0.Dense_1", sd, f"{gp}.gab.mlp.fc2", used)
+        out[f"group_scale_{g}"] = sd[f"{gp}.scale"]
+        _put_conv(out, f"Conv2d_{g + 1}", sd, f"layers.{g}.conv", used)
+
+    ng = len(groups)
+    _put_ln(out, "LayerNorm_1", sd, "norm", used)
+    _put_conv(out, f"Conv2d_{ng + 1}", sd, "conv_after_body", used)
+    _put_conv(out, f"Conv2d_{ng + 2}", sd, "conv_before_upsample.0", used)
+    ups = sorted(
+        int(m.group(1)) for key in sd
+        if (m := re.fullmatch(r"upsample\.(\d+)\.weight", key))
+    )
+    for n, s in enumerate(ups):
+        _put_conv(out, f"Upsample_0.Conv2d_{n}", sd, f"upsample.{s}", used)
+    _put_conv(out, f"Conv2d_{ng + 3}", sd, "conv_last", used)
+    return out
+
+
 # ---------------------------------------------------------------- hitsrf
 
 
@@ -890,4 +975,5 @@ EXT_CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "omnisr": convert_omnisr,
     "grformer": convert_grformer,
     "hit_srf": convert_hitsrf,
+    "hma": convert_hma,
 }

@@ -231,3 +231,17 @@ def test_hitsrf_pth_import(x):
          "upsampler": "pixelshuffledirect"},
         _state_dict_np(m), x, atol=1e-4,
     )
+
+
+def test_hma_pth_import():
+    mod = _load_ref_arch("hma_arch")
+    m = mod.hma(embed_dim=32, depths=[2], num_heads=[4], window_size=8,
+                interval_size=4, img_size=16, mlp_ratio=1,
+                drop_path_rate=0.0).eval()
+    x = np.random.default_rng(7).random((1, 16, 16, 3)).astype(np.float32)
+    _compare(
+        m, "hma",
+        {"embed_dim": 32, "depths": (2,), "num_heads": (4,), "window_size": 8,
+         "interval_size": 4, "mlp_ratio": 1, "drop_path_rate": 0.0},
+        _state_dict_np(m), x, atol=1e-4,
+    )
