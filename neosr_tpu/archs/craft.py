@@ -39,7 +39,7 @@ class SRWAB(nn.Module):
         shortcut = x
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         attn = L_SA(self.dim, self.num_heads, self.split_size, self.shift,
-                    True, self.dtype)(h)
+                    True, use_mask=False, dtype=self.dtype)(h)
         x = shortcut + attn
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype)(
@@ -148,6 +148,7 @@ class craft(nn.Module):
     num_heads: Sequence[int] = (6, 6, 6, 6)
     split_size_0: int = 4
     split_size_1: int = 16
+    window_size: int = 16
     mlp_ratio: float = 2.0
     upscale: int = 4
     img_range: float = 1.0
@@ -157,6 +158,14 @@ class craft(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         mean = jnp.asarray((0.5,) * 3, x.dtype) if self.in_chans == 3 else 0.0
+        b, H0, W0, _ = x.shape
+        # the reference ALWAYS symmetric-pads by (h//ws + 1)*ws - h — a full
+        # extra window even when divisible (craft_arch.py forward) — via
+        # flip-concat, i.e. edge-inclusive (symmetric) mirroring
+        ws = self.window_size
+        ph = (H0 // ws + 1) * ws - H0
+        pw = (W0 // ws + 1) * ws - W0
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="symmetric")
         x = (x - mean) * self.img_range
 
         feat = Conv2d(self.embed_dim, 3, dtype=self.dtype)(x)
@@ -170,7 +179,9 @@ class craft(nn.Module):
                 h = Conv2d(self.embed_dim, 3, dtype=self.dtype)(h)
             h = h + res
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(h)
-        h = h + feat
+        # x = conv_after_body(features) + conv_first-out (craft_arch.py)
+        h = Conv2d(self.embed_dim, 3, dtype=self.dtype)(h) + feat
         h = Conv2d(self.in_chans * self.upscale**2, 3, dtype=self.dtype)(h)
         out = pixel_shuffle(h, self.upscale)
-        return out / self.img_range + mean
+        out = out / self.img_range + mean
+        return out[:, : H0 * self.upscale, : W0 * self.upscale, :]

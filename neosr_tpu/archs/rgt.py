@@ -34,6 +34,9 @@ class L_SA(nn.Module):
     split_size: Sequence[int] = (8, 32)
     shift: bool = False
     qkv_bias: bool = True
+    # craft reuses this block but passes attn_mask=(None, None) — its
+    # shifted windows run UNMASKED (craft_arch.py forward_features)
+    use_mask: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -64,8 +67,10 @@ class L_SA(nn.Module):
         if self.shift and min(hp, wp) > ms:
             qkv0 = jnp.roll(qkv0, (-sh, -sw), axis=(1, 2))
             qkv1 = jnp.roll(qkv1, (-sw, -sh), axis=(1, 2))
-            m0 = jnp.asarray(rect_shift_mask(hp, wp, s0, s1, sh, sw))
-            m1 = jnp.asarray(rect_shift_mask(hp, wp, s1, s0, sw, sh))
+            m0 = jnp.asarray(rect_shift_mask(hp, wp, s0, s1, sh, sw)) \
+                if self.use_mask else None
+            m1 = jnp.asarray(rect_shift_mask(hp, wp, s1, s0, sw, sh)) \
+                if self.use_mask else None
             x0 = SpatialAttentionBranch(half, s0, s1, self.num_heads // 2,
                                         None, self.dtype)(qkv0, m0)
             x1 = SpatialAttentionBranch(half, s1, s0, self.num_heads // 2,

@@ -347,6 +347,67 @@ def convert_drct(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+# ---------------------------------------------------------------- craft
+
+
+def convert_craft(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """CRAFT (reference craft_arch.py:109-964): CRFB groups of SRWAB rect
+    attention + HFERB + HFB fusion; model-level rpe buffers dropped."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+    _put_conv(out, "Conv2d_0", sd, "conv_first", used)
+    groups = sorted({
+        int(m.group(1)) for key in sd if (m := re.match(r"layers\.(\d+)\.", key))
+    })
+    for g in groups:
+        gp, gs = f"layers.{g}.residual_group", f"CRFB_{g}"
+        n_srwa = len({
+            int(m.group(1)) for key in sd
+            if (m := re.match(rf"layers\.{g}\.residual_group\.srwa_blocks\.(\d+)\.", key))
+        })
+        for j in range(n_srwa):
+            tp, sc = f"{gp}.srwa_blocks.{j}", f"{gs}.SRWAB_{j}"
+            _put_ln(out, f"{sc}.LayerNorm_0", sd, f"{tp}.norm1", used)
+            _put_ln(out, f"{sc}.LayerNorm_1", sd, f"{tp}.norm2", used)
+            lsa = f"{sc}.L_SA_0"
+            _put_dense(out, f"{lsa}.Dense_0", sd, f"{tp}.qkv", used)
+            _put_dense(out, f"{lsa}.Dense_1", sd, f"{tp}.proj", used)
+            _put_raw_conv(out, f"{lsa}.Conv_0", sd, f"{tp}.get_v", used)
+            for br in (0, 1):
+                pos = f"{lsa}.SpatialAttentionBranch_{br}.DynamicPosBias_0"
+                ptp = f"{tp}.attns.{br}.pos"
+                _put_dense(out, f"{pos}.Dense_0", sd, f"{ptp}.pos_proj", used)
+                for n in range(1, 4):
+                    _put_ln(out, f"{pos}.LayerNorm_{n - 1}", sd,
+                            f"{ptp}.pos{n}.0", used)
+                    _put_dense(out, f"{pos}.Dense_{n}", sd, f"{ptp}.pos{n}.2", used)
+            _put_dense(out, f"{sc}.Mlp_0.Dense_0", sd, f"{tp}.mlp.fc1", used)
+            _put_dense(out, f"{sc}.Mlp_0.Dense_1", sd, f"{tp}.mlp.fc2", used)
+        for i in range(n_srwa // 2):
+            tp, sc = f"{gp}.hfer_blocks.{i}", f"{gs}.HFERB_{i}"
+            _put_conv(out, f"{sc}.Conv2d_0", sd, f"{tp}.conv", used)
+            _put_conv(out, f"{sc}.Conv2d_1", sd, f"{tp}.fc", used)
+            _put_conv(out, f"{sc}.Conv2d_2", sd, f"{tp}.last_fc", used)
+            tp, sc = f"{gp}.hf_blocks.{i}", f"{gs}.HFB_{i}"
+            _put_ln(out, f"{sc}.LayerNorm_0", sd, f"{tp}.norm1.body", used)
+            _put_ln(out, f"{sc}.LayerNorm_1", sd, f"{tp}.norm2.body", used)
+            out[f"{sc}.temperature"] = sd[f"{tp}.attn.temperature"]
+            _put_conv(out, f"{sc}.Conv2d_0", sd, f"{tp}.attn.q", used)
+            _put_raw_conv(out, f"{sc}.Conv_0", sd, f"{tp}.attn.q_dwconv", used)
+            _put_conv(out, f"{sc}.Conv2d_1", sd, f"{tp}.attn.kv", used)
+            _put_raw_conv(out, f"{sc}.Conv_1", sd, f"{tp}.attn.kv_dwconv", used)
+            _put_conv(out, f"{sc}.Conv2d_2", sd, f"{tp}.attn.project_out", used)
+            _put_conv(out, f"{sc}.Conv2d_3", sd, f"{tp}.ffn.project_in", used)
+            _put_raw_conv(out, f"{sc}.Conv_2", sd, f"{tp}.ffn.dwconv", used)
+            _put_conv(out, f"{sc}.Conv2d_4", sd, f"{tp}.ffn.project_out", used)
+        _put_conv(out, f"Conv2d_{g + 1}", sd, f"layers.{g}.conv", used)
+    ng = len(groups)
+    _put_ln(out, "LayerNorm_0", sd, "norm.body", used)
+    _put_conv(out, f"Conv2d_{ng + 1}", sd, "conv_after_body", used)
+    _put_conv(out, f"Conv2d_{ng + 2}", sd, "upsample.0", used)
+    return out
+
+
 # ---------------------------------------------------------------- hma
 
 
@@ -976,4 +1037,5 @@ EXT_CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "grformer": convert_grformer,
     "hit_srf": convert_hitsrf,
     "hma": convert_hma,
+    "craft": convert_craft,
 }

@@ -294,7 +294,7 @@ def test_swinir_pth_export_roundtrip(x, ups, extra):
 
 def test_unsupported_arch_raises():
     with pytest.raises(ValueError, match="No torch-checkpoint converter"):
-        convert_state_dict({}, "dat_m")
+        convert_state_dict({}, "not_a_real_arch")
 
 
 def _roundtrip(arch_file, torch_cls, our_type, our_kwargs, torch_kwargs, x,

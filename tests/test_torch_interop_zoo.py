@@ -245,3 +245,17 @@ def test_hma_pth_import():
          "interval_size": 4, "mlp_ratio": 1, "drop_path_rate": 0.0},
         _state_dict_np(m), x, atol=1e-4,
     )
+
+
+def test_craft_pth_import():
+    mod = _load_ref_arch("craft_arch")
+    m = mod.craft(embed_dim=32, depths=[2], num_heads=[4], window_size=16,
+                  split_size_0=2, split_size_1=4, mlp_ratio=1,
+                  img_size=16).eval()
+    x = np.random.default_rng(8).random((1, 16, 16, 3)).astype(np.float32)
+    _compare(
+        m, "craft",
+        {"embed_dim": 32, "depths": (2,), "num_heads": (4,), "window_size": 16,
+         "split_size_0": 2, "split_size_1": 4, "mlp_ratio": 1},
+        _state_dict_np(m), x, atol=1e-4,
+    )
