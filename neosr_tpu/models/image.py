@@ -319,6 +319,27 @@ class image(base):
             losses["l_g_total"] = total
             return total, (losses, out)
 
+        # batch augmentations on the paired path (reference image.py:380-391
+        # applies them in feed_data; here they fuse into the jitted step).
+        # The otf model augments inside its fused degrade+train program
+        # (reference otf.py:271-278 ordering), so only model_type "image"
+        # augments here.
+        paired_aug = None
+        if self.is_train and self.opt.get("model_type") == "image":
+            train_ds = self.opt.get("datasets", {}).get("train", {})
+            if train_ds.get("augmentation") is not None:
+                from neosr_tpu.data.augmentations import make_augment_fn
+
+                if train_ds.get("patch_size", 48) % 4 != 0:
+                    msg = (
+                        f"{tc.red}patch_size must be a multiple of 4 when "
+                        f"using augmentations.{tc.end}"
+                    )
+                    raise ValueError(msg)
+                paired_aug = make_augment_fn(
+                    self.scale, train_ds["augmentation"], train_ds.get("aug_prob")
+                )
+
         wavelet = self.wavelet_guided
         wavelet_init = self.wavelet_init
 
@@ -349,8 +370,10 @@ class image(base):
                 lq = lq.astype(jnp.float32) / 255.0
             if gt is not None and jnp.issubdtype(gt.dtype, jnp.integer):
                 gt = gt.astype(jnp.float32) / 255.0
-            rng, step_rng = jax.random.split(state.rng)
+            rng, step_rng, aug_rng = jax.random.split(state.rng, 3)
             step = state.step
+            if paired_aug is not None and gt is not None and lq.shape[0] > 1:
+                gt, lq = paired_aug(gt, lq, aug_rng)
 
             grad_fn = jax.value_and_grad(g_loss_fn, has_aux=True)
             (loss_g, (losses, out)), grads = grad_fn(

@@ -192,3 +192,56 @@ def test_uint8_paired_training(tiny_paired_dataset, tmp_path):
         losses[dt] = model.get_current_log()["l_g_total"]
     # same crops (seeded), same init seed: uint8/255 == float32 exactly
     assert abs(losses["uint8"] - losses["float32"]) < 1e-5, losses
+
+
+def test_paired_batch_augmentations_applied():
+    """The paired (image) model honors `augmentation`/`aug_prob` in the
+    train dataset opt (reference image.py:380-391): with augs enabled the
+    same seed/data produces a different loss trajectory, and training
+    stays finite."""
+    import numpy as np
+
+    from neosr_tpu.data.loader import collate
+    from neosr_tpu.models import build_model
+    from neosr_tpu.utils.options import opt_from_dict
+
+    def make_opt(aug):
+        ds = {"type": "paired", "phase": "train", "patch_size": 16,
+              "batch_size": 4}
+        if aug:
+            ds["augmentation"] = ["none", "mixup", "cutmix", "resizemix",
+                                  "cutblur"]
+            ds["aug_prob"] = [0.1, 0.3, 0.2, 0.2, 0.2]
+        opt = {
+            "name": "aug_smoke", "model_type": "image", "scale": 4,
+            "num_gpu": 1, "manual_seed": 0, "is_train": True,
+            "datasets": {"train": ds},
+            "network_g": {"type": "compact", "num_feat": 8, "num_conv": 1},
+            "path": {},
+            "train": {
+                "optim_g": {"type": "adamw", "lr": 1e-3},
+                "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+            },
+            "logger": {"total_iter": 10},
+        }
+        return opt_from_dict(opt, root_path=".", is_train=True)
+
+    rng = np.random.default_rng(3)
+    batch = collate([
+        {"lq": rng.random((16, 16, 3)).astype(np.float32),
+         "gt": rng.random((64, 64, 3)).astype(np.float32)}
+        for _ in range(4)
+    ])
+
+    losses = {}
+    for aug in (False, True):
+        model = build_model(make_opt(aug))
+        model.feed_data(batch)
+        hist = []
+        for i in range(3):
+            model.optimize_parameters(i + 1)
+            hist.append(model.get_current_log()["l_g_total"])
+        losses[aug] = hist
+        assert all(np.isfinite(v) for v in hist)
+    # augmented batches differ from raw pairs -> different losses
+    assert losses[True] != losses[False]
