@@ -127,6 +127,11 @@ class dists_loss:
         alphas = jnp.split(self._alpha / w_sum, splits)
         betas = jnp.split(self._beta / w_sum, splits)
 
+        # NOTE: the reference RESETS dist1/dist2 inside the stage loop
+        # (dists_loss.py:148-162: `dist1 = 0` per k), so only the LAST
+        # stage's similarity survives.  Published DISTS accumulates all
+        # stages; we replicate the reference verbatim so checkpoints and
+        # metric values transfer 1:1 (grafted-parity tested).
         dist1 = jnp.zeros((x.shape[0],), jnp.float32)
         dist2 = jnp.zeros((x.shape[0],), jnp.float32)
         for k in range(len(_CHNS)):
@@ -134,13 +139,13 @@ class dists_loss:
             x_mean = f0.mean(axis=(1, 2))
             y_mean = f1.mean(axis=(1, 2))
             s1 = (2 * x_mean * y_mean + c1) / (x_mean**2 + y_mean**2 + c1)
-            dist1 = dist1 + (alphas[k][None] * s1).sum(axis=1)
+            dist1 = (alphas[k][None] * s1).sum(axis=1)
 
             x_var = ((f0 - x_mean[:, None, None, :]) ** 2).mean(axis=(1, 2))
             y_var = ((f1 - y_mean[:, None, None, :]) ** 2).mean(axis=(1, 2))
             xy_cov = (f0 * f1).mean(axis=(1, 2)) - x_mean * y_mean
             s2 = (2 * xy_cov + c2) / (x_var + y_var + c2)
-            dist2 = dist2 + (betas[k][None] * s2).sum(axis=1)
+            dist2 = (betas[k][None] * s2).sum(axis=1)
 
         score = 1.0 - (dist1 + dist2)
         if self.as_loss:
