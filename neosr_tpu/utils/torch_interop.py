@@ -712,11 +712,232 @@ def export_swinir(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+def export_hat(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_hat: our HAT params -> reference hat_arch layout
+    (derived buffers relative_position_index / attn_mask not emitted)."""
+    out: dict[str, np.ndarray] = {}
+    _get_conv(flat, "Conv2d_0", out, "conv_first")
+    if "LayerNorm_0.scale" in flat:
+        _get_ln(flat, "LayerNorm_0", out, "patch_embed.norm")
+    _get_ln(flat, "LayerNorm_1", out, "norm")
+
+    for key in flat:
+        m = re.fullmatch(r"RHAG_(\d+)\.HAB_(\d+)\.LayerNorm_0\.scale", key)
+        if m:
+            i, j = m.groups()
+            scope = f"RHAG_{i}.HAB_{j}"
+            tp = f"layers.{i}.residual_group.blocks.{j}"
+            _get_ln(flat, f"{scope}.LayerNorm_0", out, f"{tp}.norm1")
+            _get_ln(flat, f"{scope}.LayerNorm_1", out, f"{tp}.norm2")
+            wa = f"{scope}.WindowAttention_0"
+            _get_dense(flat, f"{wa}.Dense_0", out, f"{tp}.attn.qkv")
+            _get_dense(flat, f"{wa}.Dense_1", out, f"{tp}.attn.proj")
+            out[f"{tp}.attn.relative_position_bias_table"] = flat[
+                f"{wa}.relative_position_bias_table"]
+            cab = f"{scope}.CAB_0"
+            _get_conv(flat, f"{cab}.Conv2d_0", out, f"{tp}.conv_block.cab.0")
+            _get_conv(flat, f"{cab}.Conv2d_1", out, f"{tp}.conv_block.cab.2")
+            ca = f"{cab}.ChannelAttention_0"
+            _get_conv(flat, f"{ca}.Conv2d_0", out, f"{tp}.conv_block.cab.3.attention.1")
+            _get_conv(flat, f"{ca}.Conv2d_1", out, f"{tp}.conv_block.cab.3.attention.3")
+            _get_dense(flat, f"{scope}.Mlp_0.Dense_0", out, f"{tp}.mlp.fc1")
+            _get_dense(flat, f"{scope}.Mlp_0.Dense_1", out, f"{tp}.mlp.fc2")
+            continue
+        m = re.fullmatch(r"RHAG_(\d+)\.OCAB_0\.LayerNorm_0\.scale", key)
+        if m:
+            i = m.group(1)
+            scope = f"RHAG_{i}.OCAB_0"
+            tp = f"layers.{i}.residual_group.overlap_attn"
+            _get_ln(flat, f"{scope}.LayerNorm_0", out, f"{tp}.norm1")
+            _get_ln(flat, f"{scope}.LayerNorm_1", out, f"{tp}.norm2")
+            _get_dense(flat, f"{scope}.Dense_0", out, f"{tp}.qkv")
+            _get_dense(flat, f"{scope}.Dense_1", out, f"{tp}.proj")
+            out[f"{tp}.relative_position_bias_table"] = flat[
+                f"{scope}.relative_position_bias_table"]
+            _get_dense(flat, f"{scope}.Mlp_0.Dense_0", out, f"{tp}.mlp.fc1")
+            _get_dense(flat, f"{scope}.Mlp_0.Dense_1", out, f"{tp}.mlp.fc2")
+            continue
+        m = re.fullmatch(r"RHAG_(\d+)\.Conv2d_0\.Conv_0\.kernel", key)
+        if m:
+            _get_conv(flat, f"RHAG_{m.group(1)}.Conv2d_0", out,
+                      f"layers.{m.group(1)}.conv")
+
+    _get_conv(flat, "Conv2d_1", out, "conv_after_body")
+    _get_conv(flat, "Conv2d_2", out, "conv_before_upsample.0")
+    k = 0
+    while f"Upsample_0.Conv2d_{k}.Conv_0.kernel" in flat:
+        _get_conv(flat, f"Upsample_0.Conv2d_{k}", out, f"upsample.{2 * k}")
+        k += 1
+    _get_conv(flat, "Conv2d_3", out, "conv_last")
+    return out
+
+
+def export_atd(flat: dict[str, np.ndarray], norm: bool = False,
+               **_: Any) -> dict[str, np.ndarray]:
+    """Inverse of convert_atd.  norm=False (the reference default) registers
+    a `no_norm` marker buffer (atd_arch.py)."""
+    out: dict[str, np.ndarray] = {}
+    if not norm:
+        out["no_norm"] = np.zeros(1, np.float32)
+    _get_conv(flat, "Conv2d_0", out, "conv_first")
+    if "LayerNorm_0.scale" in flat:
+        _get_ln(flat, "LayerNorm_0", out, "patch_embed.norm")
+    _get_ln(flat, "LayerNorm_1", out, "norm")
+
+    for key in flat:
+        m = re.fullmatch(r"ATDB_(\d+)\.td", key)
+        if m:
+            out[f"layers.{m.group(1)}.residual_group.td"] = flat[key]
+            continue
+        m = re.fullmatch(r"ATDB_(\d+)\.Conv2d_0\.Conv_0\.kernel", key)
+        if m:
+            _get_conv(flat, f"ATDB_{m.group(1)}.Conv2d_0", out,
+                      f"layers.{m.group(1)}.conv")
+            continue
+        m = re.fullmatch(
+            r"ATDB_(\d+)\.ATDTransformerLayer_(\d+)\.LayerNorm_0\.scale", key)
+        if not m:
+            continue
+        i, j = m.groups()
+        scope = f"ATDB_{i}.ATDTransformerLayer_{j}"
+        tp = f"layers.{i}.residual_group.layers.{j}"
+        _get_ln(flat, f"{scope}.LayerNorm_0", out, f"{tp}.norm1")
+        _get_ln(flat, f"{scope}.LayerNorm_1", out, f"{tp}.norm2")
+        _get_dense(flat, f"{scope}.Dense_0", out, f"{tp}.wqkv")
+        wa = f"{scope}.WindowAttentionQKV_0"
+        out[f"{tp}.attn_win.relative_position_bias_table"] = flat[
+            f"{wa}.relative_position_bias_table"]
+        _get_dense(flat, f"{wa}.Dense_0", out, f"{tp}.attn_win.proj")
+        ca = f"{scope}.ATD_CA_0"
+        _get_dense(flat, f"{ca}.Dense_0", out, f"{tp}.attn_atd.wq")
+        _get_dense(flat, f"{ca}.Dense_1", out, f"{tp}.attn_atd.wk")
+        _get_dense(flat, f"{ca}.Dense_2", out, f"{tp}.attn_atd.wv")
+        out[f"{tp}.attn_atd.scale"] = flat[f"{ca}.scale"]
+        aca = f"{scope}.AC_MSA_0"
+        _get_dense(flat, f"{aca}.Dense_0", out, f"{tp}.attn_aca.proj")
+        out[f"{tp}.attn_aca.logit_scale"] = flat[f"{aca}.logit_scale"]
+        ffn = f"{scope}.ConvFFN_0"
+        _get_dense(flat, f"{ffn}.Dense_0", out, f"{tp}.convffn.fc1")
+        _get_dense(flat, f"{ffn}.Dense_1", out, f"{tp}.convffn.fc2")
+        out[f"{tp}.convffn.dwconv.depthwise_conv.0.weight"] = _ik(
+            flat[f"{ffn}.Conv_0.kernel"])
+        out[f"{tp}.convffn.dwconv.depthwise_conv.0.bias"] = flat[f"{ffn}.Conv_0.bias"]
+        if f"{scope}.sigma" in flat:
+            out[f"{tp}.sigma"] = flat[f"{scope}.sigma"]
+            out[f"{tp}.norm3.weight"] = flat[
+                f"{scope}.InstanceNorm1dAffine_0.scale"].reshape(-1)
+            out[f"{tp}.norm3.bias"] = flat[
+                f"{scope}.InstanceNorm1dAffine_0.bias"].reshape(-1)
+
+    _get_conv(flat, "Conv2d_1", out, "conv_after_body")
+    if "Upsample_0.Conv2d_0.Conv_0.kernel" in flat:  # pixelshuffle head
+        _get_conv(flat, "Conv2d_2", out, "conv_before_upsample.0")
+        k = 0
+        while f"Upsample_0.Conv2d_{k}.Conv_0.kernel" in flat:
+            _get_conv(flat, f"Upsample_0.Conv2d_{k}", out, f"upsample.{2 * k}")
+            k += 1
+        _get_conv(flat, "Conv2d_3", out, "conv_last")
+    else:  # pixelshuffledirect (atd_light)
+        _get_conv(flat, "Conv2d_2", out, "upsample.0")
+    return out
+
+
+def _get_dysample(flat: dict, scope: str, out: dict, tp: str,
+                  scale: int = 2, groups: int = 4) -> None:
+    """Inverse of _dysample; emits the derived init_pos buffer too so strict
+    torch loads succeed (arch_util.py:62-67 layout)."""
+    _get_conv(flat, f"{scope}.Conv2d_0", out, f"{tp}.offset")
+    _get_conv(flat, f"{scope}.Conv2d_1", out, f"{tp}.scope")
+    if f"{scope}.Conv2d_2.Conv_0.kernel" in flat:
+        _get_conv(flat, f"{scope}.Conv2d_2", out, f"{tp}.end_conv")
+    h = (np.arange(scale, dtype=np.float32) - (scale - 1) / 2) / scale
+    gy, gx = np.meshgrid(h, h, indexing="ij")
+    init = np.stack([gx, gy], axis=-1)  # (r, r, 2) in (x, y) order
+    init = np.tile(init[None, :, :, None, :], (1, 1, 1, groups, 1))
+    init = init.transpose(0, 4, 3, 1, 2).reshape(1, -1, 1, 1)
+    out[f"{tp}.init_pos"] = init.astype(np.float32)
+
+
+def export_realplksr(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_realplksr (DCCM mixer, GroupNorm, optional
+    DySample)."""
+    out: dict[str, np.ndarray] = {}
+    blocks = sorted({
+        int(m.group(1)) for key in flat
+        if (m := re.match(r"RealPLKBlock_(\d+)\.", key))
+    })
+    _get_conv(flat, "Conv2d_0", out, "feats.0")
+    for n in blocks:
+        scope, tp = f"RealPLKBlock_{n}", f"feats.{n + 1}"
+        mix = next(
+            pfx for pfx in ("DCCM_0", "CCM_0", "ICCM_0")
+            if f"{scope}.{pfx}.Conv2d_0.Conv_0.kernel" in flat
+        )
+        _get_conv(flat, f"{scope}.{mix}.Conv2d_0", out, f"{tp}.channel_mixer.0")
+        _get_conv(flat, f"{scope}.{mix}.Conv2d_1", out, f"{tp}.channel_mixer.2")
+        _get_conv(flat, f"{scope}.PLKConv_0.Conv2d_0", out, f"{tp}.lk.conv")
+        if f"{scope}.EA_0.Conv2d_0.Conv_0.kernel" in flat:
+            _get_conv(flat, f"{scope}.EA_0.Conv2d_0", out, f"{tp}.attn.f.0")
+        _get_conv(flat, f"{scope}.Conv2d_0", out, f"{tp}.refine")
+        out[f"{tp}.norm.weight"] = flat[f"{scope}.GroupNorm_0.scale"]
+        out[f"{tp}.norm.bias"] = flat[f"{scope}.GroupNorm_0.bias"]
+    _get_conv(flat, "Conv2d_1", out, f"feats.{len(blocks) + 2}")
+    if "DySample_0.Conv2d_0.Conv_0.kernel" in flat:
+        # DySample group count is fixed at 4 in the reference realplksr
+        _get_dysample(flat, "DySample_0", out, "to_img",
+                      scale=_infer_dysample_scale(flat, "DySample_0"))
+    return out
+
+
+def _infer_dysample_scale(flat: dict, scope: str) -> int:
+    """offset conv emits 2*groups*r^2 channels with groups=4."""
+    ch = flat[f"{scope}.Conv2d_0.Conv_0.kernel"].shape[-1]
+    return int(round((ch / 8) ** 0.5))
+
+
+def export_spanplus(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_spanplus (Conv3XC stem + SPABS stages; dys/ps/conv
+    upsampler)."""
+    out: dict[str, np.ndarray] = {}
+    _export_conv3xc(flat, "Conv3XC_0", out, "feats.0")
+    stages = sorted({
+        int(m.group(1)) for key in flat
+        if (m := re.match(r"SPABS_(\d+)\.", key))
+    })
+
+    def spab(scope: str, tp: str) -> None:
+        for j in range(3):
+            _export_conv3xc(flat, f"{scope}.Conv3XC_{j}", out, f"{tp}.c{j + 1}_r")
+
+    for n in stages:
+        scope, tp = f"SPABS_{n}", f"feats.{n + 1}"
+        inner = sorted({
+            int(m.group(1)) for key in flat
+            if (m := re.match(rf"SPABS_{n}\.SPABPlus_(\d+)\.", key))
+        })
+        spab(f"{scope}.SPABPlus_0", f"{tp}.block_1")
+        for j in inner[1:-1]:
+            spab(f"{scope}.SPABPlus_{j}", f"{tp}.block_n.{j - 1}")
+        spab(f"{scope}.SPABPlus_{inner[-1]}", f"{tp}.block_end")
+        _export_conv3xc(flat, f"{scope}.Conv3XC_0", out, f"{tp}.conv_2")
+        _get_conv(flat, f"{scope}.Conv2d_0", out, f"{tp}.conv_cat")
+    if "DySample_0.Conv2d_0.Conv_0.kernel" in flat:
+        _get_dysample(flat, "DySample_0", out, "upsampler",
+                      scale=_infer_dysample_scale(flat, "DySample_0"))
+    elif "Conv2d_0.Conv_0.kernel" in flat:
+        _get_conv(flat, "Conv2d_0", out, "upsampler.0")
+    return out
+
+
 EXPORTERS: dict[str, Callable[[dict], dict]] = {
     "compact": export_compact,
     "esrgan": export_esrgan,
     "span": export_span,
     "swinir": export_swinir,
+    "hat": export_hat,
+    "atd": export_atd,
+    "realplksr": export_realplksr,
+    "spanplus": export_spanplus,
 }
 
 
@@ -737,8 +958,8 @@ def to_torch_state_dict(
         )
         raise ValueError(msg)
     flat = {k: np.asarray(v, np.float32) for k, v in flatten_params(params).items()}
-    if fam == "span":
-        return export_span(flat, norm=bool(arch_opts.get("norm", False)))
+    if fam in ("span", "atd"):  # norm flag shapes the torch buffer set
+        return EXPORTERS[fam](flat, norm=bool(arch_opts.get("norm", False)))
     return EXPORTERS[fam](flat)
 
 

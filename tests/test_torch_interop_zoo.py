@@ -259,3 +259,78 @@ def test_craft_pth_import():
          "split_size_0": 2, "split_size_1": 4, "mlp_ratio": 1},
         _state_dict_np(m), x, atol=1e-4,
     )
+
+
+def _roundtrip_strict(arch_file, torch_cls, our_type, our_kwargs, torch_kwargs,
+                      x, atol=1e-4, train=False, allowed_missing=()):
+    """Our random params -> torch-layout export -> torch load -> parity."""
+    import jax
+    import jax.numpy as jnp
+
+    from neosr_tpu.archs import build_network
+    from neosr_tpu.utils.torch_interop import to_torch_state_dict
+
+    net = build_network({"type": our_type, **our_kwargs}, scale=4)
+    params = jax.jit(net.init)(jax.random.key(2), jnp.asarray(x))["params"]
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in to_torch_state_dict(params, our_type).items()}
+    mod = _load_ref_arch(arch_file)
+    m = getattr(mod, torch_cls)(**torch_kwargs)
+    result = m.load_state_dict(sd, strict=False)
+    assert not result.unexpected_keys, result.unexpected_keys
+    assert all(k.endswith(tuple(allowed_missing)) for k in result.missing_keys), \
+        result.missing_keys
+    m = m.train() if train else m.eval()
+    ours = jax.jit(lambda p, xx: net.apply({"params": p}, xx))(params, jnp.asarray(x))
+    with torch.no_grad():
+        theirs = m(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy().transpose(0, 2, 3, 1), atol=atol, rtol=1e-4)
+
+
+_SWIN_DERIVED = ("attn_mask", "relative_position_index",
+                 "relative_position_index_SA", "relative_position_index_OCA")
+
+
+def test_hat_pth_export_roundtrip(x):
+    _roundtrip_strict(
+        "hat_arch", "hat", "hat",
+        {"embed_dim": 24, "depths": (2, 2), "num_heads": (3, 3),
+         "window_size": 8, "mlp_ratio": 2, "compress_ratio": 3,
+         "squeeze_factor": 6},
+        {"embed_dim": 24, "depths": (2, 2), "num_heads": (3, 3),
+         "window_size": 8, "mlp_ratio": 2, "compress_ratio": 3,
+         "squeeze_factor": 6, "num_feat": 16, "img_size": 16, "upscale": 4,
+         "upsampler": "pixelshuffle"},
+        x, allowed_missing=_SWIN_DERIVED)
+
+
+def test_atd_pth_export_roundtrip(x):
+    _roundtrip_strict(
+        "atd_arch", "atd", "atd",
+        {"embed_dim": 24, "depths": (2, 2), "num_heads": (3, 3),
+         "window_size": 8, "category_size": 256, "num_tokens": 8,
+         "reducted_dim": 4, "convffn_kernel_size": 5, "mlp_ratio": 1},
+        {"embed_dim": 24, "depths": (2, 2), "num_heads": (3, 3),
+         "window_size": 8, "category_size": 256, "num_tokens": 8,
+         "reducted_dim": 4, "convffn_kernel_size": 5, "mlp_ratio": 1,
+         "img_size": 16, "upscale": 4, "num_feat": 16,
+         "upsampler": "pixelshuffle"},
+        x, atol=2e-4, allowed_missing=_SWIN_DERIVED)
+
+
+def test_realplksr_pth_export_roundtrip(x, cpu_pinmem):
+    _roundtrip_strict(
+        "realplksr_arch", "realplksr", "realplksr",
+        {"dim": 32, "n_blocks": 2, "kernel_size": 13, "dysample": True},
+        {"dim": 32, "n_blocks": 2, "kernel_size": 13, "dysample": True,
+         "norm_groups": 4},
+        x, train=True)
+
+
+def test_spanplus_pth_export_roundtrip(x, cpu_pinmem):
+    _roundtrip_strict(
+        "spanplus_arch", "spanplus", "spanplus",
+        {"blocks": (2,), "feature_channels": 32, "upsampler": "dys"},
+        {"blocks": [2], "feature_channels": 32, "upsampler": "dys"},
+        x, train=True)
