@@ -44,6 +44,45 @@ def rpi_oca(ws: int, wse: int) -> np.ndarray:
     return rel.sum(-1)
 
 
+def _overlap_windows(x: jnp.ndarray, ws: int, wse: int, nh: int, nw: int) -> jnp.ndarray:
+    """Extract overlapping (wse x wse) windows at stride ws from a padded
+    NHWC map -> (b, nh, nw, wse, wse, c) using only slices/reshapes/concats.
+
+    Window rows [wi*ws, wi*ws+wse) are assembled from full-height strided
+    reshapes at offsets q*ws (q = 0..ceil(wse/ws)), then cropped to wse; the
+    same along columns.  Gradient is the mirrored concat/slice — no gather,
+    no im2col convolution.
+    """
+    b = x.shape[0]
+    c = x.shape[-1]
+    nq = -(-wse // ws)  # pieces per axis
+
+    def expand(t, axis_len, n_blocks, axis):
+        # t has spatial axis `axis` of length >= n_blocks*ws + (nq)*ws
+        need = (n_blocks + nq - 1) * ws + ws
+        pad_amt = need - t.shape[axis]
+        if pad_amt > 0:
+            cfg = [(0, 0)] * t.ndim
+            cfg[axis] = (0, pad_amt)
+            t = jnp.pad(t, cfg)
+        pieces = []
+        for qi in range(nq):
+            sl = [slice(None)] * t.ndim
+            sl[axis] = slice(qi * ws, qi * ws + n_blocks * ws)
+            piece = t[tuple(sl)]
+            new_shape = list(piece.shape)
+            new_shape[axis : axis + 1] = [n_blocks, ws]
+            pieces.append(piece.reshape(new_shape))
+        out = jnp.concatenate(pieces, axis=axis + 1)
+        sl = [slice(None)] * out.ndim
+        sl[axis + 1] = slice(0, wse)
+        return out[tuple(sl)]
+
+    t = expand(x, x.shape[1], nh, 1)          # (b, nh, wse, Wp, c)
+    t = expand(t, t.shape[3], nw, 3)          # (b, nh, wse, nw, wse, c)
+    return t.transpose(0, 1, 3, 2, 4, 5)      # (b, nh, nw, wse, wse, c)
+
+
 class ChannelAttention(nn.Module):
     num_feat: int
     squeeze_factor: int = 16
@@ -152,14 +191,14 @@ class OCAB(nn.Module):
 
         q_windows = window_partition(q, ws)  # (b*nw, ws*ws, c)
 
-        # overlapping kv windows: pad then extract wse-windows at stride ws
+        # overlapping kv windows: pad then extract wse-windows at stride ws.
+        # Built from <=ceil(wse/ws)+1 reshaped full-tensor slices + concat —
+        # pure data movement. (conv_general_dilated_patches materializes an
+        # identity conv filter of wse*wse*2c output channels: ~250 ms/block
+        # fwd+bwd on a v5e at production shapes vs ~mem-bandwidth here.)
         kv_pad = jnp.pad(kv, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-        patches = jax.lax.conv_general_dilated_patches(
-            kv_pad.transpose(0, 3, 1, 2), (wse, wse), (ws, ws), "VALID"
-        )  # (b, 2c*wse*wse, nh, nw)
-        nh, nw = patches.shape[2], patches.shape[3]
-        patches = patches.reshape(b, 2 * c, wse * wse, nh * nw)
-        patches = patches.transpose(0, 3, 2, 1)  # b, nW, wse*wse, 2c
+        nh, nw = h // ws, w // ws
+        patches = _overlap_windows(kv_pad, ws, wse, nh, nw)
         patches = patches.reshape(b * nh * nw, wse * wse, 2 * c)
         k_windows = patches[..., :c]
         v_windows = patches[..., c:]

@@ -1,0 +1,82 @@
+"""Trajectory parity: our optax adan_sf vs the reference torch adan_sf.
+
+adan_sf is the DEFAULT optimizer in every reference train template, and it
+guards every checkpoint and validation (the schedule-free x-iterate).  We
+run both implementations on an identical tiny quadratic problem with
+identical gradients for 200 steps (warmup active for the first 20) and
+require the y-iterate trajectory AND the recovered eval (x) iterate to
+agree."""
+
+import importlib.util
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def _load_ref_adan_sf():
+    spec = importlib.util.spec_from_file_location(
+        "ref_adan_sf", "/root/reference/neosr/optimizers/adan_sf.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_adan_sf"] = mod
+    spec.loader.exec_module(mod)
+    return mod.adan_sf
+
+
+@pytest.mark.parametrize("warmup,wd,mgn", [(20, 0.02, 0.0), (0, 0.0, 1.0)])
+def test_adan_sf_trajectory_parity(warmup, wd, mgn):
+    rng = np.random.default_rng(0)
+    w0 = rng.normal(size=(8, 8)).astype(np.float32)
+    targets = rng.normal(size=(200, 8, 8)).astype(np.float32) * 2.0
+
+    lr, betas = 2e-3, (0.98, 0.92, 0.99)
+
+    # ---- torch side
+    ref_cls = _load_ref_adan_sf()
+    p = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = ref_cls([p], lr=lr, betas=betas, weight_decay=wd,
+                  warmup_steps=warmup, max_grad_norm=mgn)
+    opt.train()
+    torch_traj = []
+    for t in range(200):
+        opt.zero_grad()
+        loss = ((p - torch.from_numpy(targets[t])) ** 2).sum()
+        loss.backward()
+        opt.step()
+        if (t + 1) % 50 == 0:
+            torch_traj.append(p.detach().numpy().copy())
+    opt.eval()
+    torch_eval = p.detach().numpy().copy()
+
+    # ---- jax side
+    from neosr_tpu.optimizers.schedule_free import adan_sf, sf_eval_params
+
+    tx = adan_sf(lr=lr, betas=betas, weight_decay=wd, warmup_steps=warmup,
+                 max_grad_norm=mgn)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+
+    @jax.jit
+    def step(params, state, target):
+        grads = jax.grad(lambda pp: ((pp["w"] - target) ** 2).sum())(params)
+        updates, state = tx.update(grads, state, params)
+        return jax.tree.map(lambda a, b: a + b, params, updates), state
+
+    jax_traj = []
+    for t in range(200):
+        params, state = step(params, state, jnp.asarray(targets[t]))
+        if (t + 1) % 50 == 0:
+            jax_traj.append(np.asarray(params["w"]))
+    jax_eval = np.asarray(sf_eval_params(state, params)["w"])
+
+    for i, (tw, jw) in enumerate(zip(torch_traj, jax_traj)):
+        np.testing.assert_allclose(jw, tw, rtol=2e-4, atol=2e-5,
+                                   err_msg=f"y-iterate diverged @50*{i + 1}")
+    np.testing.assert_allclose(jax_eval, torch_eval, rtol=2e-4, atol=2e-5,
+                               err_msg="eval (x) iterate diverged")
