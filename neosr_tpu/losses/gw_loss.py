@@ -3,8 +3,9 @@
 Capability parity with /root/reference/neosr/losses/gw_loss.py:14-107
 (4-direction Sobel difference maps modulating an element-wise reduction).
 Note: the reference accidentally reassigns its 45/135-degree kernels to the
-0/90 kernels (gw_loss.py:61-62), making "4-direction" really 2-direction; we
-implement the four genuine directions, documented as an intentional fix.
+0/90 kernels (gw_loss.py:61-62), making "4-direction" really 2-direction.
+The default replicates that behavior exactly (parity-tested); pass
+``fixed_kernels=True`` for the four genuine directions.
 NHWC; the gradient maps are computed on the channel-mean (luma-ish) image.
 """
 
@@ -42,6 +43,9 @@ class gw_loss:
     corner: bool = True
     criterion: str | None = None
     loss_weight: float = 1.0
+    # False (default) replicates the reference's kernel aliasing
+    # (45 deg -> 0 deg, 135 deg -> 90 deg, gw_loss.py:61-62)
+    fixed_kernels: bool = False
 
     def __post_init__(self) -> None:
         crits = {"l1": l1_loss, "l2": mse_loss, "huber": huber_loss}
@@ -61,9 +65,13 @@ class gw_loss:
         y1 = x1.mean(axis=-1, keepdims=True)
         y2 = x2.mean(axis=-1, keepdims=True)
 
+        kernels = dict(_SOBEL)
+        if not self.fixed_kernels:
+            kernels["45"] = _SOBEL["0"]
+            kernels["135"] = _SOBEL["90"]
         diffs = {
             k: jnp.abs(_sobel_conv(y1, kern) - _sobel_conv(y2, kern))
-            for k, kern in _SOBEL.items()
+            for k, kern in kernels.items()
         }
 
         if self._crit is not None:

@@ -222,3 +222,60 @@ def test_discriminators_shapes():
     p2 = jax.jit(d2.init)(jax.random.key(0), x)
     y2 = jax.jit(d2.apply)(p2, x)
     assert y2.shape[0] == 2 and y2.shape[-1] == 1
+
+
+def test_gw_loss_parity(imgs):
+    """Exact parity with the reference (incl. its 45/135 kernel aliasing)."""
+    _load_ref_module("basic_loss")  # gw_loss imports chc_loss from it
+    ref = _load_ref_module("gw_loss")
+
+    from neosr_tpu.losses.gw_loss import gw_loss
+
+    a, b = imgs
+    ta, tb = _t(a), _t(b)
+    for kw in ({"corner": True}, {"corner": False}, {"criterion": "l1"}):
+        want = float(ref.gw_loss(**kw)(ta, tb))
+        got = float(gw_loss(**kw)(a, b))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_consistency_loss_parity(imgs):
+    """Parity vs the reference with a faithful GaussianBlur(21, 3) stub
+    (separable gaussian, reflect padding — torchvision semantics)."""
+    import math
+
+    import torchvision.transforms as tvt
+
+    def _gaussian_blur_factory(ksize, sigma):
+        k = torch.arange(ksize, dtype=torch.float32) - (ksize - 1) / 2
+        g = torch.exp(-(k**2) / (2 * sigma**2))
+        g = g / g.sum()
+
+        class _GB:
+            def __call__(self, x):
+                c = x.shape[1]
+                pad = ksize // 2
+                xp = torch.nn.functional.pad(x, (pad, pad, pad, pad),
+                                             mode="reflect")
+                kh = g.view(1, 1, ksize, 1).expand(c, 1, ksize, 1)
+                kw_ = g.view(1, 1, 1, ksize).expand(c, 1, 1, ksize)
+                xp = torch.nn.functional.conv2d(xp, kh, groups=c)
+                return torch.nn.functional.conv2d(xp, kw_, groups=c)
+
+        return _GB()
+
+    real_gb = tvt.GaussianBlur
+    tvt.GaussianBlur = lambda k, s: _gaussian_blur_factory(k, s)
+    try:
+        _load_ref_module("basic_loss")
+        ref = _load_ref_module("consistency_loss")
+        from neosr_tpu.losses.consistency_loss import consistency_loss
+
+        a, b = imgs
+        ta, tb = _t(a), _t(b)
+        for kw in ({}, {"blur": True}, {"cosim": True}):
+            want = float(ref.consistency_loss(**kw)(ta, tb))
+            got = float(consistency_loss(**kw)(a, b))
+            np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
+    finally:
+        tvt.GaussianBlur = real_gb
