@@ -12,6 +12,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the suite is compile-bound on 1 CPU core;
+# repeat runs reuse every jitted program (first run pays full price)
+jax.config.update("jax_compilation_cache_dir", "/tmp/neosr_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
