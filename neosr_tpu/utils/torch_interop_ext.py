@@ -347,6 +347,36 @@ def convert_drct(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+# ---------------------------------------------------------------- resnet18 trunk (ea2fpn)
+
+
+def convert_resnet18_trunk(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """torchvision-layout ResNet18 -> flat params for ea2fpn.ResNet18Trunk.
+
+    This is the ImageNet-weights path for the ea2fpn discriminator trunk
+    (reference ea2fpn_arch.py:231-242); BN running stats are dropped (we
+    normalize by batch statistics).  Our `BasicBlock(f)(BasicBlock(f)(h))`
+    nesting names the OUTER (second-applied) block with the LOWER index, so
+    torch layer{L}.1 maps to BasicBlock_{2(L-1)} and layer{L}.0 to
+    BasicBlock_{2(L-1)+1}."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+    _put_raw_conv(out, "Conv_0", sd, "conv1", used)
+    _put_bn(out, "BatchStatNorm_0", sd, "bn1", used)
+    for layer in range(1, 5):
+        for tb, ob in ((1, 0), (0, 1)):
+            tp = f"layer{layer}.{tb}"
+            sc = f"BasicBlock_{2 * (layer - 1) + ob}"
+            _put_raw_conv(out, f"{sc}.Conv_0", sd, f"{tp}.conv1", used)
+            _put_bn(out, f"{sc}.BatchStatNorm_0", sd, f"{tp}.bn1", used)
+            _put_raw_conv(out, f"{sc}.Conv_1", sd, f"{tp}.conv2", used)
+            _put_bn(out, f"{sc}.BatchStatNorm_1", sd, f"{tp}.bn2", used)
+            if f"{tp}.downsample.0.weight" in sd:
+                _put_raw_conv(out, f"{sc}.Conv_2", sd, f"{tp}.downsample.0", used)
+                _put_bn(out, f"{sc}.BatchStatNorm_2", sd, f"{tp}.downsample.1", used)
+    return out
+
+
 # ---------------------------------------------------------------- craft
 
 

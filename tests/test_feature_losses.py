@@ -302,3 +302,73 @@ def test_dists_grafted_parity(tmp_path, monkeypatch, cpu_only_torch):
         v_ref = float(ref(torch.from_numpy(a.transpose(0, 3, 1, 2)),
                           torch.from_numpy(b.transpose(0, 3, 1, 2))))
     assert v_ours == pytest.approx(v_ref, rel=2e-3, abs=2e-5)
+
+
+def test_ea2fpn_resnet18_trunk_grafted_parity():
+    """Graft a random torch ResNet18 into our ea2fpn trunk: all five
+    feature stages must match (BN in batch-statistics mode).  The FPN head
+    can't be bit-compared (stateless vs torch hook-based spectral norm — a
+    documented deviation); the trunk is the pretrained-weights surface."""
+    import torch
+    from torch import nn as tnn
+
+    class TBasic(tnn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(cout)
+            self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(cout)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                    tnn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            y = torch.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return torch.relu(y + idt)
+
+    class TTrunk(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            torch.manual_seed(17)
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            self.layer1 = tnn.Sequential(TBasic(64, 64), TBasic(64, 64))
+            self.layer2 = tnn.Sequential(TBasic(64, 128, 2), TBasic(128, 128))
+            self.layer3 = tnn.Sequential(TBasic(128, 256, 2), TBasic(256, 256))
+            self.layer4 = tnn.Sequential(TBasic(256, 512, 2), TBasic(512, 512))
+
+        def forward(self, x):
+            c1 = torch.relu(self.bn1(self.conv1(x)))
+            c2 = self.layer1(self.maxpool(c1))
+            c3 = self.layer2(c2)
+            c4 = self.layer3(c3)
+            c5 = self.layer4(c4)
+            return c1, c2, c3, c4, c5
+
+    m = TTrunk().train()
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+
+    import jax
+    import jax.numpy as jnp
+
+    from neosr_tpu.archs.ea2fpn import ResNet18Trunk
+    from neosr_tpu.utils.checkpoint import unflatten_params
+    from neosr_tpu.utils.torch_interop_ext import convert_resnet18_trunk
+
+    params = unflatten_params(convert_resnet18_trunk(sd))
+    rng = np.random.default_rng(9)
+    x = rng.random((2, 64, 64, 3)).astype(np.float32)
+    ours = jax.jit(lambda p, xx: ResNet18Trunk().apply({"params": p}, xx))(
+        params, jnp.asarray(x))
+    with torch.no_grad():
+        theirs = m(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    for k, (o, t) in enumerate(zip(ours, theirs)):
+        np.testing.assert_allclose(
+            np.asarray(o), t.numpy().transpose(0, 2, 3, 1),
+            atol=2e-4, rtol=1e-3, err_msg=f"stage c{k + 1}")
