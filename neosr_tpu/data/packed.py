@@ -60,8 +60,10 @@ class paired_packed:
                     i, top * scale, left * scale, patch * scale, patch * scale
                 )
             )
-            img_gt = img_gt.astype(np.float32) / 255.0
-            img_lq = img_lq.astype(np.float32) / 255.0
+            # stay uint8: the jitted train step normalizes integer batches
+            # on device (models/image.py train_step), so the host->device
+            # copy is 4x smaller — this matters over slow links and for
+            # multi-host feeds.
             img_gt, img_lq = basic_augment(
                 [img_gt, img_lq],
                 self.opt.get("use_hflip", True),

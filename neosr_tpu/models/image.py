@@ -156,6 +156,22 @@ class image(base):
         if opt.get("network_d") and not train_opt.get("gan_opt"):
             msg = f"{tc.red}[network_d] set but no gan_opt configured.{tc.end}"
             raise ValueError(msg)
+        if train_opt.get("optim_d") and not opt.get("network_d"):
+            msg = f"{tc.red}[train.optim_d] set but no [network_d] configured.{tc.end}"
+            raise ValueError(msg)
+        if (
+            opt.get("network_d", {}).get("type") == "ea2fpn"
+            and opt["datasets"]["train"].get("patch_size", 48) == 48
+            and self.scale == 1
+        ):
+            # reference image.py:280-294: ea2fpn's FPN strides collapse at
+            # this input size; same restriction here (checked before net_d
+            # init, which would otherwise fail on the degenerate shapes)
+            msg = (
+                f"{tc.red}Discriminator ea2fpn does not work with patch_size "
+                f"48 at 1x scale; change patch_size.{tc.end}"
+            )
+            raise ValueError(msg)
 
         # ---- discriminator ----------------------------------------------
         self.params_d = None
@@ -190,6 +206,15 @@ class image(base):
         self.wavelet_init = train_opt.get("wavelet_init", 80000)
         if self.sam is not None and self.sam not in ("fsam",):
             msg = f"{tc.red}Unknown sam type {self.sam} (supported: fsam).{tc.end}"
+            raise ValueError(msg)
+        # config error wall, matching reference image.py:241-294 semantics
+        if self.sam is not None and self.use_amp:
+            logger.warning(
+                f"{tc.red}SAM with reduced-precision compute can be unstable; "
+                f"disable use_amp/bfloat16 if results degrade.{tc.end}"
+            )
+        if self.wavelet_guided and self.cri_gan is None:
+            msg = f"{tc.red}wavelet_guided requires GAN (gan_opt + network_d).{tc.end}"
             raise ValueError(msg)
 
         # ---- optimizers --------------------------------------------------

@@ -54,3 +54,41 @@ def test_gan_requires_discriminator(tiny_paired_dataset, tmp_path):
     )
     with pytest.raises(ValueError, match="network_d"):
         build_model(opt)
+
+
+def test_error_walls(tiny_paired_dataset, tmp_path):
+    """Config error wall parity (reference image.py:241-294)."""
+    import pytest
+
+    from tests.test_smoke_train import make_opt
+
+    from neosr_tpu.models import build_model
+
+    # optim_d without network_d
+    opt = make_opt(
+        tiny_paired_dataset, tmp_path,
+        extra_train={"optim_d": {"type": "adamw", "lr": 5e-4}},
+    )
+    with pytest.raises(ValueError, match="optim_d"):
+        build_model(opt)
+
+    # wavelet_guided without GAN
+    opt = make_opt(
+        tiny_paired_dataset, tmp_path, extra_train={"wavelet_guided": True},
+    )
+    with pytest.raises(ValueError, match="wavelet_guided"):
+        build_model(opt)
+
+    # ea2fpn at patch 48 / scale 1
+    opt = make_opt(
+        tiny_paired_dataset, tmp_path,
+        extra_train={
+            "gan_opt": {"type": "gan_loss", "gan_type": "bce", "loss_weight": 0.3},
+            "optim_d": {"type": "adamw", "lr": 5e-4},
+        },
+    )
+    opt["scale"] = 1
+    opt["network_d"] = {"type": "ea2fpn"}
+    opt["datasets"]["train"]["patch_size"] = 48
+    with pytest.raises(ValueError, match="ea2fpn"):
+        build_model(opt)
