@@ -75,6 +75,18 @@ def assert_verify(fn, ref_fn, shape, rtol=0.01, atol=0.001):
     np.testing.assert_allclose(got, want, rtol=rtol, atol=atol)
 
 
+def _mirror_opt(net) -> dict:
+    """Hyperparameters of a flax net (a linen dataclass) as a plain dict,
+    for building the torch ONNX mirror with matching dimensions."""
+    import dataclasses
+
+    return {
+        f.name: getattr(net, f.name)
+        for f in dataclasses.fields(net)
+        if f.name not in ("parent", "name", "dtype")
+    }
+
+
 def to_exports(args) -> None:
     import jax
     import jax.numpy as jnp
@@ -83,6 +95,11 @@ def to_exports(args) -> None:
     from neosr_tpu.utils.logger import get_root_logger
 
     logger = get_root_logger()
+    if not args.fp16:
+        # export + parity verification want true fp32 numerics; on TPU the
+        # default conv/matmul precision is bf16 passes, which fails the
+        # reference's rtol .01/atol .001 gate near zero
+        jax.config.update("jax_default_matmul_precision", "highest")
     net, params = load_network(args)
     out_dir = Path(args.output if args.output else ".")
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -132,23 +149,66 @@ def to_exports(args) -> None:
         logger.warning(f"StableHLO export failed: {e}")
 
     if args.onnx:
+        # Primary path: torch mirror modules (utils/torch_mirror.py) carry
+        # the flax weights through the reference checkpoint layout into
+        # torch.onnx.export — same artifact the reference produces
+        # (/root/reference/convert.py:89-182).  jax2onnx, when installed,
+        # covers archs without a mirror.
+        onnx_path = out_dir / f"{stem}.onnx"
         try:
-            import jax2onnx  # noqa: F401
-
-            logger.info("jax2onnx detected; exporting ONNX...")
-            model = jax2onnx.to_onnx(jit_forward, [jax.ShapeDtypeStruct(shape, jnp.float32)])
-            onnx_path = out_dir / f"{stem}.onnx"
-            onnx_path.write_bytes(model.SerializeToString())
-            logger.info(f"ONNX written: {onnx_path}")
-        except ImportError:
-            logger.warning(
-                "ONNX export requires the 'jax2onnx' and 'onnx' packages, which "
-                "are not installed in this environment. The .safetensors export "
-                "carries the weights for external converters."
+            from neosr_tpu.utils.torch_mirror import (
+                build_torch_mirror,
+                export_onnx,
             )
+
+            mirror = build_torch_mirror(
+                args.network, _mirror_opt(net), args.scale, params,
+            )
+            export_onnx(mirror, onnx_path, shape_hw=shape[1:3],
+                        channels=shape[3], dynamic=args.static is None)
+            logger.info(f"ONNX written: {onnx_path} (opset 17, "
+                        f"{'static' if args.static is not None else 'dynamic'} axes)")
+            if not args.nocheck:
+                import torch
+
+                def torch_fwd(x):
+                    with torch.inference_mode():
+                        t = torch.from_numpy(
+                            np.transpose(x, (0, 3, 1, 2)).copy())
+                        y = mirror(t).numpy()
+                    return np.transpose(y, (0, 2, 3, 1))
+
+                assert_verify(torch_fwd, jit_forward, shape)
+                logger.info("ONNX-graph parity check passed "
+                            "(torch mirror vs flax, rtol=0.01, atol=0.001)")
+        except ValueError as e:
+            logger.warning(f"{e}")
+            try:
+                import jax2onnx
+
+                logger.info("jax2onnx detected; exporting ONNX...")
+                model = jax2onnx.to_onnx(
+                    jit_forward, [jax.ShapeDtypeStruct(shape, jnp.float32)])
+                onnx_path.write_bytes(model.SerializeToString())
+                logger.info(f"ONNX written: {onnx_path}")
+            except ImportError:
+                logger.warning(
+                    "No ONNX path for this arch: no torch mirror and the "
+                    "'jax2onnx'/'onnx' packages are not installed. The "
+                    ".safetensors export carries the weights for external "
+                    "converters."
+                )
 
 
 if __name__ == "__main__":
+    import jax
+
+    # conversion runs on the host CPU backend, like the reference's
+    # CPU-pinned torch.onnx.export (/root/reference/convert.py:126): exact
+    # fp32 numerics for the parity gate, and no dependency on (or
+    # contention for) an attached accelerator.
+    jax.config.update("jax_platforms", "cpu")
+
     from neosr_tpu.utils.options import parse_options
 
     root_path = osp.abspath(osp.join(__file__, osp.pardir))

@@ -1,0 +1,277 @@
+"""Torch mirror modules for ONNX export.
+
+The reference exports ONNX through `torch.onnx.export` on its torch
+generators (/root/reference/convert.py:89-182).  Our generators are flax;
+to reach the same deployment artifact without the (absent) jax2onnx
+package, we mirror the *deploy-path* forward of the popular conv archs as
+tiny torch modules whose parameter names equal the reference checkpoint
+layout — the same layout our torch-layout exporters
+(utils/torch_interop.py) already emit.  Export chain:
+
+    flax params --export_<arch>--> reference-layout state_dict
+               --load into mirror--> torch module
+               --torch.onnx.export--> .onnx (opset 17)
+
+and parity is asserted mirror-vs-flax on random input (the reference
+asserts ORT-vs-torch at rtol 0.01/atol 0.001, convert.py:65-86).
+
+These mirrors implement the forward passes of OUR flax archs
+(archs/compact.py, archs/span.py, archs/esrgan.py) in torch — they are not
+ports of the reference module code.  Only the deploy path is mirrored
+(e.g. span uses the fused Conv3XC eval_conv, so the train-time branch
+keys in the state dict are simply unused).
+
+torch 2.13 requires the `onnx` package only for a final post-processing
+step that splices onnxscript custom functions into the serialized proto
+(_add_onnxscript_fn).  Standard conv/prelu/pixel-shuffle graphs contain
+none, in which case that step is the identity — `ensure_onnx_exportable`
+patches it through when `onnx` is unavailable.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+
+def ensure_onnx_exportable() -> None:
+    """Allow torch.onnx.export to serialize without the `onnx` package.
+
+    `_add_onnxscript_fn(model_bytes, custom_opsets) -> bytes` only rewrites
+    the proto when the graph references onnxscript-defined custom ops; for
+    the standard op set it returns its input unchanged — except it imports
+    `onnx` unconditionally first.  Patch it to the identity when the
+    import fails.
+    """
+    try:
+        import onnx  # noqa: F401
+
+        return  # real package present; no patch needed
+    except ImportError:
+        pass
+    from torch.onnx._internal.torchscript_exporter import onnx_proto_utils
+
+    onnx_proto_utils._add_onnxscript_fn = (
+        lambda model_bytes, custom_opsets: model_bytes
+    )
+
+
+# --------------------------------------------------------------------- archs
+
+
+def _compact_mirror(opt: dict[str, Any], scale: int):
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    num_feat = opt.get("num_feat", 64)
+    num_conv = opt.get("num_conv", 16)
+    num_out = opt.get("num_out_ch", 3)
+    act = opt.get("act_type", "prelu")
+    if act != "prelu":
+        msg = f"compact ONNX mirror supports act_type='prelu' only, got {act}"
+        raise ValueError(msg)
+
+    class CompactMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            layers: list[nn.Module] = []
+            c_in = opt.get("num_in_ch", 3)
+            for _ in range(num_conv + 1):
+                layers += [nn.Conv2d(c_in, num_feat, 3, padding=1),
+                           nn.PReLU(num_feat)]
+                c_in = num_feat
+            layers.append(nn.Conv2d(num_feat, num_out * scale**2, 3, padding=1))
+            self.body = nn.Sequential(*layers)
+            self.ps = nn.PixelShuffle(scale)
+
+        def forward(self, x: "torch.Tensor") -> "torch.Tensor":
+            out = self.ps(self.body(x))
+            return out + F.interpolate(x, scale_factor=scale, mode="nearest")
+
+    return CompactMirror()
+
+
+def _span_mirror(opt: dict[str, Any], scale: int):
+    import torch
+    import torch.nn as nn
+
+    feat = opt.get("feature_channels", 48)
+    num_out = opt.get("num_out_ch", 3)
+    if opt.get("norm", False):
+        msg = "span ONNX mirror supports norm=false checkpoints only"
+        raise ValueError(msg)
+
+    class C3XC(nn.Module):  # fused deploy conv of the re-parameterizable block
+        def __init__(self, c_in: int, c_out: int) -> None:
+            super().__init__()
+            self.eval_conv = nn.Conv2d(c_in, c_out, 3, padding=1)
+
+        def forward(self, x):
+            return self.eval_conv(x)
+
+    class SPABMirror(nn.Module):
+        def __init__(self, c: int) -> None:
+            super().__init__()
+            self.c1_r, self.c2_r, self.c3_r = C3XC(c, c), C3XC(c, c), C3XC(c, c)
+
+        def forward(self, x):
+            out1_act = torch.nn.functional.silu(self.c1_r(x))
+            out2 = self.c2_r(out1_act)
+            out3 = self.c3_r(torch.nn.functional.silu(out2))
+            att = torch.sigmoid(out3) - 0.5
+            return (out3 + x) * att, out1_act
+
+    class SpanMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.conv_1 = C3XC(opt.get("num_in_ch", 3), feat)
+            for i in range(1, 7):
+                setattr(self, f"block_{i}", SPABMirror(feat))
+            self.conv_2 = C3XC(feat, feat)
+            self.conv_cat = nn.Conv2d(4 * feat, feat, 1)
+            self.upsampler = nn.Sequential(
+                nn.Conv2d(feat, num_out * scale**2, 3, padding=1),
+                nn.PixelShuffle(scale),
+            )
+
+        def forward(self, x):
+            f0 = self.conv_1(x)
+            b1, _ = self.block_1(f0)
+            b2, _ = self.block_2(b1)
+            b3, _ = self.block_3(b2)
+            b4, _ = self.block_4(b3)
+            b5, _ = self.block_5(b4)
+            b6, b5_2 = self.block_6(b5)
+            b6 = self.conv_2(b6)
+            out = self.conv_cat(torch.cat([f0, b6, b1, b5_2], dim=1))
+            return self.upsampler(out)
+
+    return SpanMirror()
+
+
+def _esrgan_mirror(opt: dict[str, Any], scale: int):
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    num_feat = opt.get("num_feat", 64)
+    num_block = opt.get("num_block", 23)
+    gc = opt.get("num_grow_ch", 32)
+    num_out = opt.get("num_out_ch", 3)
+    c_in = opt.get("num_in_ch", 3) * {1: 16, 2: 4}.get(scale, 1)
+
+    class RDBMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            for k in range(1, 5):
+                setattr(self, f"conv{k}",
+                        nn.Conv2d(num_feat + (k - 1) * gc, gc, 3, padding=1))
+            self.conv5 = nn.Conv2d(num_feat + 4 * gc, num_feat, 3, padding=1)
+
+        def forward(self, x):
+            a = F.leaky_relu(self.conv1(x), 0.2)
+            b = F.leaky_relu(self.conv2(torch.cat([x, a], 1)), 0.2)
+            c = F.leaky_relu(self.conv3(torch.cat([x, a, b], 1)), 0.2)
+            d = F.leaky_relu(self.conv4(torch.cat([x, a, b, c], 1)), 0.2)
+            e = self.conv5(torch.cat([x, a, b, c, d], 1))
+            return e * 0.2 + x
+
+    class RRDBMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.rdb1, self.rdb2, self.rdb3 = RDBMirror(), RDBMirror(), RDBMirror()
+
+        def forward(self, x):
+            return self.rdb3(self.rdb2(self.rdb1(x))) * 0.2 + x
+
+    class EsrganMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.conv_first = nn.Conv2d(c_in, num_feat, 3, padding=1)
+            self.body = nn.Sequential(*[RRDBMirror() for _ in range(num_block)])
+            self.conv_body = nn.Conv2d(num_feat, num_feat, 3, padding=1)
+            self.conv_up1 = nn.Conv2d(num_feat, num_feat, 3, padding=1)
+            self.conv_up2 = nn.Conv2d(num_feat, num_feat, 3, padding=1)
+            self.conv_hr = nn.Conv2d(num_feat, num_feat, 3, padding=1)
+            self.conv_last = nn.Conv2d(num_feat, num_out, 3, padding=1)
+
+        def forward(self, x):
+            if scale == 2:
+                x = F.pixel_unshuffle(x, 2)
+            elif scale == 1:
+                x = F.pixel_unshuffle(x, 4)
+            feat = self.conv_first(x)
+            feat = feat + self.conv_body(self.body(feat))
+            up = F.interpolate(feat, scale_factor=2, mode="nearest")
+            feat = F.leaky_relu(self.conv_up1(up), 0.2)
+            up = F.interpolate(feat, scale_factor=2, mode="nearest")
+            feat = F.leaky_relu(self.conv_up2(up), 0.2)
+            return self.conv_last(F.leaky_relu(self.conv_hr(feat), 0.2))
+
+    return EsrganMirror()
+
+
+_MIRRORS = {
+    "compact": _compact_mirror,
+    "span": _span_mirror,
+    "esrgan": _esrgan_mirror,
+}
+
+
+def mirror_families() -> tuple[str, ...]:
+    return tuple(_MIRRORS)
+
+
+def build_torch_mirror(arch_type: str, net_opt: dict[str, Any], scale: int,
+                       flax_params) -> "Any":
+    """Build a torch module computing the same function as the flax net.
+
+    `flax_params` is the live flax param pytree; weights are routed through
+    the reference-layout exporter so the mirror, a `.pth` export, and the
+    torch ecosystem all agree on one layout.
+    """
+    import torch
+
+    from neosr_tpu.utils.torch_interop import family, to_torch_state_dict
+
+    fam = family(arch_type)
+    if fam not in _MIRRORS:
+        msg = (
+            f"no ONNX torch mirror for arch '{arch_type}' "
+            f"(available: {', '.join(sorted(_MIRRORS))})"
+        )
+        raise ValueError(msg)
+    mirror = _MIRRORS[fam](net_opt, scale)
+    sd = to_torch_state_dict(flax_params, arch_type)
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    missing, unexpected = mirror.load_state_dict(tensors, strict=False)
+    if missing:  # unexpected keys are fine (train-branch weights, markers)
+        msg = f"mirror for {arch_type} missing weights: {missing[:8]}"
+        raise ValueError(msg)
+    mirror.eval()
+    return mirror
+
+
+def export_onnx(mirror, path, shape_hw: tuple[int, int] = (256, 256),
+                channels: int = 3, dynamic: bool = True,
+                opset: int = 17) -> None:
+    """torch.onnx.export with the reference's axis conventions
+    (/root/reference/convert.py:126-138): NCHW input named 'input', output
+    'output', dynamic batch/height/width unless a static shape is pinned."""
+    import torch
+
+    ensure_onnx_exportable()
+    h, w = shape_hw
+    x = torch.randn(1, channels, h, w)
+    dyn = (
+        {"input": {0: "batch", 2: "height", 3: "width"},
+         "output": {0: "batch", 2: "height", 3: "width"}}
+        if dynamic else None
+    )
+    with torch.inference_mode():
+        torch.onnx.export(
+            mirror, x, str(path), opset_version=opset, dynamo=False,
+            input_names=["input"], output_names=["output"], dynamic_axes=dyn,
+        )

@@ -1,0 +1,57 @@
+"""ONNX export via torch mirror modules (utils/torch_mirror.py).
+
+Mirrors the reference's export+verify contract (/root/reference/convert.py:
+89-182, 65-86): the exported graph's function — here the torch mirror that
+torch.onnx.export serializes — must match the live flax forward within
+rtol 0.01 / atol 0.001 on random input.  We assert much tighter (1e-4) in
+fp32, then check the serialized ModelProto header.
+"""
+
+import numpy as np
+import pytest
+
+CASES = [
+    ("compact", {"num_feat": 16, "num_conv": 2}, 4),
+    ("span", {"feature_channels": 16}, 4),
+    ("esrgan", {"num_feat": 16, "num_block": 2, "num_grow_ch": 8}, 4),
+    ("esrgan", {"num_feat": 16, "num_block": 2, "num_grow_ch": 8}, 2),
+]
+
+
+@pytest.mark.parametrize(("arch", "opt", "scale"), CASES)
+def test_mirror_parity_and_onnx(arch, opt, scale, tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from neosr_tpu.archs import build_network
+    from neosr_tpu.utils.torch_mirror import build_torch_mirror, export_onnx
+
+    net = build_network({"type": arch, **opt}, scale=scale, dtype=jnp.float32)
+    x = np.random.default_rng(0).random((1, 24, 24, 3), np.float32)
+    params = net.init(jax.random.key(0), jnp.asarray(x))["params"]
+    want = np.asarray(net.apply({"params": params}, jnp.asarray(x)))
+
+    mirror = build_torch_mirror(arch, opt, scale, params)
+    with torch.inference_mode():
+        got = mirror(torch.from_numpy(x.transpose(0, 3, 1, 2).copy())).numpy()
+    np.testing.assert_allclose(got.transpose(0, 2, 3, 1), want,
+                               rtol=1e-4, atol=1e-5)
+
+    path = tmp_path / f"{arch}_{scale}.onnx"
+    export_onnx(mirror, path, shape_hw=(24, 24), dynamic=True)
+    blob = path.read_bytes()
+    assert len(blob) > 1000
+    # ModelProto: field 1 (ir_version) varint, then producer_name "pytorch"
+    assert blob[0] == 0x08
+    assert b"pytorch" in blob[:64]
+    assert b"input" in blob and b"output" in blob
+
+
+def test_mirror_unknown_arch_raises():
+    import pytest as _pytest
+
+    from neosr_tpu.utils.torch_mirror import build_torch_mirror
+
+    with _pytest.raises(ValueError, match="no ONNX torch mirror"):
+        build_torch_mirror("craft", {}, 4, {})
