@@ -213,10 +213,210 @@ def _esrgan_mirror(opt: dict[str, Any], scale: int):
     return EsrganMirror()
 
 
+def _mish(t):
+    import torch
+
+    return t * torch.tanh(torch.nn.functional.softplus(t))
+
+
+def _dysample_mirror(c_in: int, c_out: int, scale: int, groups: int = 4,
+                     end_convolution: bool = True):
+    """Torch expression of our flax DySample (archs/arch_util.py): offset
+    prediction -> absolute bilinear sampling grid -> grouped grid_sample
+    (GridSample is ONNX opset>=16).  Border clamp + align_corners=False
+    reproduce the flax clip-gather exactly."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class DySampleMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            r, g = scale, groups
+            self.offset = nn.Conv2d(c_in, 2 * g * r * r, 1)
+            self.scope = nn.Conv2d(c_in, 2 * g * r * r, 1, bias=False)
+            if end_convolution:
+                self.end_conv = nn.Conv2d(c_in, c_out, 1)
+            self.register_buffer("init_pos", torch.zeros(1, 2 * g * r * r, 1, 1))
+
+        def forward(self, x):
+            r, g = scale, groups
+            b, c, h, w = x.shape
+            off = self.offset(x) * torch.sigmoid(self.scope(x)) * 0.5
+            off = off + self.init_pos
+            # channel layout (2, g, ry, rx); spread subpixels into the HR
+            # grid as (B, H*r, W*r, g, 2) of (x, y) offsets
+            off = off.view(b, 2, g, r, r, h, w)
+            off = off.permute(0, 5, 3, 6, 4, 2, 1).reshape(b, h * r, w * r, g, 2)
+            bx = torch.arange(w * r, device=x.device, dtype=x.dtype) // r
+            by = torch.arange(h * r, device=x.device, dtype=x.dtype) // r
+            gx = off[..., 0] + bx.view(1, 1, -1, 1) + 0.5
+            gy = off[..., 1] + by.view(1, -1, 1, 1) + 0.5
+            grid = torch.stack([2 * gx / w - 1, 2 * gy / h - 1], dim=-1)
+            grid = grid.permute(0, 3, 1, 2, 4).reshape(b * g, h * r, w * r, 2)
+            xg = x.view(b * g, c // g, h, w)
+            out = F.grid_sample(xg, grid, mode="bilinear",
+                                align_corners=False, padding_mode="border")
+            out = out.view(b, c, h * r, w * r)
+            if end_convolution:
+                out = self.end_conv(out)
+            return out
+
+    return DySampleMirror()
+
+
+def _realplksr_mirror(opt: dict[str, Any], scale: int):
+    import torch
+    import torch.nn as nn
+
+    dim = opt.get("dim", 64)
+    n_blocks = opt.get("n_blocks", 28)
+    ksize = opt.get("kernel_size", 17)
+    pdim = int(dim * opt.get("split_ratio", 0.25))
+    use_ea = opt.get("use_ea", True)
+    groups = opt.get("norm_groups", 4)
+    out_ch = opt.get("out_ch", 3)
+    dys = opt.get("dysample", False)
+
+    class EAMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.f = nn.Sequential(nn.Conv2d(dim, dim, 3, padding=1))
+
+        def forward(self, x):
+            return x * torch.sigmoid(self.f(x))
+
+    class PLKMirror(nn.Module):  # partial large-kernel conv
+        def __init__(self) -> None:
+            super().__init__()
+            self.conv = nn.Conv2d(pdim, pdim, ksize, padding=ksize // 2)
+
+        def forward(self, x):
+            return torch.cat([self.conv(x[:, :pdim]), x[:, pdim:]], dim=1)
+
+    class BlockMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.channel_mixer = nn.Sequential(
+                nn.Conv2d(dim, dim * 2, 3, padding=1), nn.Identity(),
+                nn.Conv2d(dim * 2, dim, 3, padding=1),
+            )
+            self.lk = PLKMirror()
+            if use_ea:
+                self.attn = EAMirror()
+            self.refine = nn.Conv2d(dim, dim, 1)
+            self.norm = nn.GroupNorm(groups, dim)
+
+        def forward(self, x):
+            skip = x
+            x = self.channel_mixer[0](x)
+            x = self.channel_mixer[2](_mish(x))
+            x = self.lk(x)
+            if use_ea:
+                x = self.attn(x)
+            return self.norm(self.refine(x)) + skip
+
+    class RealPLKSRMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            in_ch = opt.get("in_ch", 3)
+            layers: list[nn.Module] = [nn.Conv2d(in_ch, dim, 3, padding=1)]
+            layers += [BlockMirror() for _ in range(n_blocks)]
+            layers.append(nn.Identity())  # dropout slot in the layout
+            layers.append(nn.Conv2d(dim, out_ch * scale**2, 3, padding=1))
+            self.feats = nn.Sequential(*layers)
+            if dys and scale != 1:
+                g = out_ch if scale % 2 != 0 else 4
+                self.to_img = _dysample_mirror(
+                    in_ch * scale**2, out_ch, scale, groups=g)
+            else:
+                self.to_img = nn.PixelShuffle(scale)
+
+        def forward(self, x):
+            out = self.feats(x) + x.repeat_interleave(scale**2, dim=1)
+            return self.to_img(out)
+
+    return RealPLKSRMirror()
+
+
+def _spanplus_mirror(opt: dict[str, Any], scale: int):
+    import torch
+    import torch.nn as nn
+
+    feat = opt.get("feature_channels", 48)
+    blocks = opt.get("blocks", (4,))
+    blocks = list(blocks) if isinstance(blocks, (list, tuple)) else [int(blocks)]
+    upsampler = opt.get("upsampler", "dys")
+    num_in = opt.get("num_in_ch", 3)
+    num_out = opt.get("num_out_ch", 3)
+    out_ch = num_out if upsampler == "dys" else num_in
+
+    class C3XC(nn.Module):
+        def __init__(self, c_in: int, c_out: int) -> None:
+            super().__init__()
+            self.eval_conv = nn.Conv2d(c_in, c_out, 3, padding=1)
+
+        def forward(self, x):
+            return self.eval_conv(x)
+
+    class SPABPlusMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.c1_r, self.c2_r, self.c3_r = (
+                C3XC(feat, feat), C3XC(feat, feat), C3XC(feat, feat))
+
+        def forward(self, x):
+            out1_act = _mish(self.c1_r(x))
+            out3 = self.c3_r(_mish(self.c2_r(out1_act)))
+            att = torch.sigmoid(out3) - 0.5
+            return (out3 + x) * att, out1_act
+
+    class SPABSMirror(nn.Module):
+        def __init__(self, n: int) -> None:
+            super().__init__()
+            self.block_1 = SPABPlusMirror()
+            self.block_n = nn.ModuleList(SPABPlusMirror() for _ in range(n))
+            self.block_end = SPABPlusMirror()
+            self.conv_2 = C3XC(feat, feat)
+            self.conv_cat = nn.Conv2d(4 * feat, feat, 1)
+
+        def forward(self, x):
+            b1, _ = self.block_1(x)
+            h = b1
+            for blk in self.block_n:
+                h, _ = blk(h)
+            end, x2 = self.block_end(h)
+            end = self.conv_2(end)
+            return self.conv_cat(torch.cat([x, end, b1, x2], dim=1))
+
+    class SpanPlusMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.feats = nn.Sequential(
+                C3XC(num_in, feat), *[SPABSMirror(n) for n in blocks])
+            if upsampler == "ps":
+                self.upsampler = nn.Sequential(
+                    nn.Conv2d(feat, out_ch * scale**2, 3, padding=1),
+                    nn.PixelShuffle(scale),
+                )
+            elif upsampler == "dys":
+                self.upsampler = _dysample_mirror(feat, out_ch, scale)
+            else:
+                msg = f"spanplus ONNX mirror: unsupported upsampler {upsampler}"
+                raise ValueError(msg)
+
+        def forward(self, x):
+            return self.upsampler(self.feats(x))
+
+    return SpanPlusMirror()
+
+
 _MIRRORS = {
     "compact": _compact_mirror,
     "span": _span_mirror,
     "esrgan": _esrgan_mirror,
+    "realplksr": _realplksr_mirror,
+    "spanplus": _spanplus_mirror,
 }
 
 

@@ -15,6 +15,12 @@ CASES = [
     ("span", {"feature_channels": 16}, 4),
     ("esrgan", {"num_feat": 16, "num_block": 2, "num_grow_ch": 8}, 4),
     ("esrgan", {"num_feat": 16, "num_block": 2, "num_grow_ch": 8}, 2),
+    ("realplksr", {"dim": 16, "n_blocks": 2, "kernel_size": 13}, 4),
+    ("realplksr", {"dim": 16, "n_blocks": 2, "kernel_size": 13,
+                   "dysample": True}, 4),
+    ("spanplus", {"feature_channels": 16, "blocks": [2]}, 4),
+    ("spanplus", {"feature_channels": 16, "blocks": [2],
+                  "upsampler": "ps"}, 4),
 ]
 
 
