@@ -258,6 +258,17 @@ def bench_transformer_train(
         model.optimize_parameters(warmup + i + 1)
     _sync(model)
     dt = time.perf_counter() - t0
+    # Rough MFU: dense/conv work per LR pixel is ~2*P FLOPs fwd (most params
+    # are 1x1/dense applied per token), train step ~3x fwd.  Attention
+    # QK/PV adds ~10-20% on top — this UNDERcounts, so MFU here is a floor.
+    import jax as _jax
+
+    n_params = sum(
+        int(np.prod(p.shape))
+        for p in _jax.tree_util.tree_leaves(model.state.params_g)
+    )
+    step_flops = 3 * 2 * n_params * patch * patch * global_batch
+    tflops = step_flops / (dt / iters) / 1e12
     return {
         "metric": f"{arch_type}_4x_train_patches_per_sec_per_chip",
         "value": round(global_batch * iters / dt / n_chips, 2),
@@ -265,7 +276,10 @@ def bench_transformer_train(
         "vs_baseline": None,
         "detail": {"n_chips": n_chips, "global_batch": global_batch,
                    "patch": patch, "iters": iters, "wall_s": round(dt, 3),
-                   "ms_per_step": round(dt / iters * 1e3, 1)},
+                   "ms_per_step": round(dt / iters * 1e3, 1),
+                   "params_m": round(n_params / 1e6, 2),
+                   "tflops_floor": round(tflops, 1),
+                   "mfu_floor_pct": round(100 * tflops / 197, 1)},
     }
 
 

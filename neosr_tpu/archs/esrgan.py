@@ -63,6 +63,7 @@ class esrgan(nn.Module):
     num_feat: int = 64
     num_block: int = 23
     num_grow_ch: int = 32
+    use_checkpoint: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -75,8 +76,18 @@ class esrgan(nn.Module):
             feat = x
         feat = Conv2d(self.num_feat, 3, dtype=self.dtype)(feat)
         body = feat
+        # use_checkpoint remats each RRDB: backward recomputes the block
+        # instead of streaming ~15 dense-concat activations per block from
+        # HBM — the RRDB backward is bandwidth-bound on TPU, so trading
+        # FLOPs for traffic can raise throughput and admits larger batches.
+        # The lift is applied to the *call* so param names don't change and
+        # checkpoints stay interchangeable with use_checkpoint=false.
         for _ in range(self.num_block):
-            body = RRDB(self.num_feat, self.num_grow_ch, self.dtype)(body)
+            blk = RRDB(self.num_feat, self.num_grow_ch, self.dtype)
+            if self.use_checkpoint:
+                body = nn.remat(RRDB.__call__)(blk, body)
+            else:
+                body = blk(body)
         body = Conv2d(self.num_feat, 3, dtype=self.dtype)(body)
         feat = feat + body
         feat = lrelu(Conv2d(self.num_feat, 3, dtype=self.dtype)(nearest_upsample(feat, 2)))
