@@ -410,10 +410,18 @@ if __name__ == "__main__":
     elif which == "transformer":
         arch = sys.argv[2] if len(sys.argv) > 2 else "swinir_medium"
         kw = {}
-        if len(sys.argv) > 3:
-            kw["batch_per_chip"] = int(sys.argv[3])
-        if len(sys.argv) > 4:
-            kw["patch"] = int(sys.argv[4])
+        extra = {}
+        for tok in sys.argv[3:]:
+            if "=" in tok:  # network_g extras, e.g. use_checkpoint=true
+                k, v = tok.split("=", 1)
+                extra[k] = {"true": True, "false": False}.get(
+                    v.lower(), int(v) if v.lstrip("-").isdigit() else v)
+            elif "batch_per_chip" not in kw:
+                kw["batch_per_chip"] = int(tok)
+            else:
+                kw["patch"] = int(tok)
+        if extra:
+            kw["network_extra"] = extra
         print(json.dumps(bench_transformer_train(arch, **kw)))
     else:
         print(json.dumps(bench_compact_train()))
