@@ -889,6 +889,40 @@ def export_realplksr(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
+def export_plksr(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_plksr (reference plksr layout: `channe_mixer`
+    (sic), lk.conv | RectSparse mn/nm/nn, attn.f.0, refine; feats.0 head
+    and feats.{n+1} tail plain convs)."""
+    out: dict[str, np.ndarray] = {}
+    blocks = sorted({
+        int(m.group(1)) for key in flat
+        if (m := re.match(r"PLKBlock_(\d+)\.", key))
+    })
+    _get_conv(flat, "Conv2d_0", out, "feats.0")
+    for n in blocks:
+        scope, tp = f"PLKBlock_{n}", f"feats.{n + 1}"
+        mix = next(
+            pfx for pfx in ("DCCM_0", "CCM_0", "ICCM_0")
+            if f"{scope}.{pfx}.Conv2d_0.Conv_0.kernel" in flat
+        )
+        _get_conv(flat, f"{scope}.{mix}.Conv2d_0", out, f"{tp}.channe_mixer.0")
+        _get_conv(flat, f"{scope}.{mix}.Conv2d_1", out, f"{tp}.channe_mixer.2")
+        if f"{scope}.PLKConv_0.Conv2d_0.Conv_0.kernel" in flat:
+            _get_conv(flat, f"{scope}.PLKConv_0.Conv2d_0", out, f"{tp}.lk.conv")
+        elif f"{scope}.RectSparsePLKConv_0.Conv2d_0.Conv_0.kernel" in flat:
+            for i, sub in enumerate(("mn_conv", "nm_conv", "nn_conv")):
+                _get_conv(flat, f"{scope}.RectSparsePLKConv_0.Conv2d_{i}",
+                          out, f"{tp}.lk.{sub}")
+        else:
+            msg = f"unsupported lk variant in {scope} (SparsePLK export)"
+            raise ValueError(msg)
+        if f"{scope}.EA_0.Conv2d_0.Conv_0.kernel" in flat:
+            _get_conv(flat, f"{scope}.EA_0.Conv2d_0", out, f"{tp}.attn.f.0")
+        _get_conv(flat, f"{scope}.Conv2d_0", out, f"{tp}.refine")
+    _get_conv(flat, "Conv2d_1", out, f"feats.{len(blocks) + 1}")
+    return out
+
+
 def _infer_dysample_scale(flat: dict, scope: str) -> int:
     """offset conv emits 2*groups*r^2 channels with groups=4."""
     ch = flat[f"{scope}.Conv2d_0.Conv_0.kernel"].shape[-1]
@@ -936,6 +970,7 @@ EXPORTERS: dict[str, Callable[[dict], dict]] = {
     "swinir": export_swinir,
     "hat": export_hat,
     "atd": export_atd,
+    "plksr": export_plksr,
     "realplksr": export_realplksr,
     "spanplus": export_spanplus,
 }

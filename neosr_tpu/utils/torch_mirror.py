@@ -339,6 +339,79 @@ def _realplksr_mirror(opt: dict[str, Any], scale: int):
     return RealPLKSRMirror()
 
 
+def _plksr_mirror(opt: dict[str, Any], scale: int):
+    import torch
+    import torch.nn as nn
+
+    dim = opt.get("dim", 64)
+    n_blocks = opt.get("n_blocks", 28)
+    ksize = opt.get("kernel_size", 17)
+    pdim = int(dim * opt.get("split_ratio", 0.25))
+    use_ea = opt.get("use_ea", True)
+    ccm = opt.get("ccm_type", "DCCM")
+    lk_type = opt.get("lk_type", "PLK")
+    with_idt = opt.get("with_idt", False)
+    if lk_type != "PLK":
+        msg = f"plksr ONNX mirror supports lk_type='PLK' only, got {lk_type}"
+        raise ValueError(msg)
+    gelu = nn.GELU()  # exact (erf) — matches the flax zoo's gelu
+
+    class EAMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.f = nn.Sequential(nn.Conv2d(dim, dim, 3, padding=1))
+
+        def forward(self, x):
+            return x * torch.sigmoid(self.f(x))
+
+    class BlockMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            k0, k2 = {"DCCM": (3, 3), "CCM": (3, 1), "ICCM": (1, 3)}[ccm]
+            self.channe_mixer = nn.Sequential(  # (sic) reference spelling
+                nn.Conv2d(dim, dim * 2, k0, padding=k0 // 2), nn.Identity(),
+                nn.Conv2d(dim * 2, dim, k2, padding=k2 // 2),
+            )
+
+            class LK(nn.Module):
+                def __init__(self) -> None:
+                    super().__init__()
+                    self.conv = nn.Conv2d(pdim, pdim, ksize, padding=ksize // 2)
+
+                def forward(self, x):
+                    y = self.conv(x[:, :pdim])
+                    if with_idt:
+                        y = y + x[:, :pdim]
+                    return torch.cat([y, x[:, pdim:]], dim=1)
+
+            self.lk = LK()
+            if use_ea:
+                self.attn = EAMirror()
+            self.refine = nn.Conv2d(dim, dim, 1)
+
+        def forward(self, x):
+            skip = x
+            x = self.channe_mixer[2](gelu(self.channe_mixer[0](x)))
+            x = self.lk(x)
+            if use_ea:
+                x = self.attn(x)
+            return self.refine(x) + skip
+
+    class PLKSRMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            layers: list[nn.Module] = [nn.Conv2d(3, dim, 3, padding=1)]
+            layers += [BlockMirror() for _ in range(n_blocks)]
+            layers.append(nn.Conv2d(dim, 3 * scale**2, 3, padding=1))
+            self.feats = nn.Sequential(*layers)
+            self.ps = nn.PixelShuffle(scale)
+
+        def forward(self, x):
+            return self.ps(self.feats(x) + x.repeat_interleave(scale**2, dim=1))
+
+    return PLKSRMirror()
+
+
 def _spanplus_mirror(opt: dict[str, Any], scale: int):
     import torch
     import torch.nn as nn
@@ -415,6 +488,7 @@ _MIRRORS = {
     "compact": _compact_mirror,
     "span": _span_mirror,
     "esrgan": _esrgan_mirror,
+    "plksr": _plksr_mirror,
     "realplksr": _realplksr_mirror,
     "spanplus": _spanplus_mirror,
 }

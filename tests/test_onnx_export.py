@@ -21,6 +21,9 @@ CASES = [
     ("spanplus", {"feature_channels": 16, "blocks": [2]}, 4),
     ("spanplus", {"feature_channels": 16, "blocks": [2],
                   "upsampler": "ps"}, 4),
+    ("plksr", {"dim": 16, "n_blocks": 2, "kernel_size": 13}, 4),
+    ("plksr", {"dim": 16, "n_blocks": 2, "kernel_size": 13,
+               "ccm_type": "ICCM", "use_ea": False}, 2),
 ]
 
 

@@ -334,3 +334,11 @@ def test_spanplus_pth_export_roundtrip(x, cpu_pinmem):
         {"blocks": (2,), "feature_channels": 32, "upsampler": "dys"},
         {"blocks": [2], "feature_channels": 32, "upsampler": "dys"},
         x, train=True)
+
+
+def test_plksr_pth_export_roundtrip(x, cpu_pinmem):
+    _roundtrip_strict(
+        "plksr_arch", "plksr", "plksr",
+        {"dim": 32, "n_blocks": 2, "kernel_size": 13, "use_ea": True},
+        {"dim": 32, "n_blocks": 2, "kernel_size": 13, "use_ea": True},
+        x, train=True)
