@@ -484,6 +484,186 @@ def _spanplus_mirror(opt: dict[str, Any], scale: int):
     return SpanPlusMirror()
 
 
+def _swinir_mirror(opt: dict[str, Any], scale: int):
+    """Torch mirror of our flax swinir (archs/swinir.py, swin_util.py).
+
+    Works in (B, H, W, C) layout internally like the flax net (one NCHW
+    permute per conv); window partition/shift/bias/mask math mirrors
+    swin_util.  Input H, W must be multiples of window_size (like the flax
+    forward; export with `-static` sized accordingly)."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from neosr_tpu.archs.swin_util import (
+        relative_position_index,
+        shift_attn_mask,
+    )
+
+    dim = opt.get("embed_dim", 60)
+    depths = list(opt.get("depths", (6, 6, 6, 6)))
+    heads = list(opt.get("num_heads", (6,) * len(depths)))
+    win = opt.get("window_size", 8)
+    mlp_ratio = opt.get("mlp_ratio", 2.0)
+    qkv_bias = opt.get("qkv_bias", True)
+    patch_norm = opt.get("patch_norm", True)
+    img_range = opt.get("img_range", 1.0)
+    upsampler = opt.get("upsampler", "pixelshuffle")
+    resi = opt.get("resi_connection", "1conv")
+    in_chans = opt.get("in_chans", 3)
+    num_feat = 64
+
+    def conv2d_bhwc(conv: nn.Conv2d, x):
+        return conv(x.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+
+    class AttnMirror(nn.Module):
+        def __init__(self, n_heads: int) -> None:
+            super().__init__()
+            self.n_heads = n_heads
+            self.qkv = nn.Linear(dim, dim * 3, bias=qkv_bias)
+            self.proj = nn.Linear(dim, dim)
+            self.relative_position_bias_table = nn.Parameter(
+                torch.zeros((2 * win - 1) ** 2, n_heads))
+            idx = torch.from_numpy(
+                relative_position_index(win, win).copy()).long()
+            self.register_buffer("rpi", idx, persistent=False)
+
+        def forward(self, xw, mask):
+            # xw: (B_, N, C) windows
+            b_, n, c = xw.shape
+            d = c // self.n_heads
+            qkv = self.qkv(xw).reshape(b_, n, 3, self.n_heads, d)
+            qkv = qkv.permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = (q * d**-0.5) @ k.transpose(-2, -1)
+            bias = self.relative_position_bias_table[self.rpi.view(-1)]
+            bias = bias.view(n, n, self.n_heads).permute(2, 0, 1)
+            attn = attn + bias.unsqueeze(0)
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.view(b_ // nw, nw, self.n_heads, n, n)
+                attn = attn + mask.unsqueeze(0).unsqueeze(2)
+                attn = attn.view(b_, self.n_heads, n, n)
+            attn = torch.softmax(attn, dim=-1)
+            out = (attn @ v).transpose(1, 2).reshape(b_, n, c)
+            return self.proj(out)
+
+    class BlockMirror(nn.Module):
+        def __init__(self, n_heads: int, shift: int) -> None:
+            super().__init__()
+            self.shift = shift
+            self.norm1 = nn.LayerNorm(dim, eps=1e-5)
+            self.attn = AttnMirror(n_heads)
+            self.norm2 = nn.LayerNorm(dim, eps=1e-5)
+            hidden = int(dim * mlp_ratio)
+            self.mlp = nn.ModuleDict({
+                "fc1": nn.Linear(dim, hidden), "fc2": nn.Linear(hidden, dim)})
+
+        def forward(self, x):
+            b, h, w, c = x.shape
+            shift = self.shift if min(h, w) > win else 0
+            shortcut = x
+            x = self.norm1(x)
+            if shift > 0:
+                x = torch.roll(x, (-shift, -shift), dims=(1, 2))
+                mask = torch.from_numpy(
+                    shift_attn_mask(h, w, win, shift).copy()).to(x.dtype)
+            else:
+                mask = None
+            xw = x.view(b, h // win, win, w // win, win, c)
+            xw = xw.permute(0, 1, 3, 2, 4, 5).reshape(-1, win * win, c)
+            xw = self.attn(xw, mask)
+            x = xw.view(b, h // win, w // win, win, win, c)
+            x = x.permute(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+            if shift > 0:
+                x = torch.roll(x, (shift, shift), dims=(1, 2))
+            x = shortcut + x
+            y = F.gelu(self.mlp["fc1"](self.norm2(x)))
+            return x + self.mlp["fc2"](y)
+
+    class RSTBMirror(nn.Module):
+        def __init__(self, depth: int, n_heads: int) -> None:
+            super().__init__()
+            self.residual_group = nn.ModuleDict({"blocks": nn.ModuleList(
+                BlockMirror(n_heads, 0 if j % 2 == 0 else win // 2)
+                for j in range(depth))})
+            if resi == "1conv":
+                self.conv = nn.Conv2d(dim, dim, 3, padding=1)
+            else:
+                self.conv = nn.Sequential(
+                    nn.Conv2d(dim, dim // 4, 3, padding=1), nn.Identity(),
+                    nn.Conv2d(dim // 4, dim // 4, 1), nn.Identity(),
+                    nn.Conv2d(dim // 4, dim, 3, padding=1))
+
+        def forward(self, x):
+            res = x
+            for blk in self.residual_group["blocks"]:
+                x = blk(x)
+            if resi == "1conv":
+                x = conv2d_bhwc(self.conv, x)
+            else:
+                x = x.permute(0, 3, 1, 2)
+                x = F.leaky_relu(self.conv[0](x), 0.2)
+                x = F.leaky_relu(self.conv[2](x), 0.2)
+                x = self.conv[4](x).permute(0, 2, 3, 1)
+            return x + res
+
+    class SwinIRMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.conv_first = nn.Conv2d(in_chans, dim, 3, padding=1)
+            if patch_norm:
+                self.patch_embed = nn.ModuleDict(
+                    {"norm": nn.LayerNorm(dim, eps=1e-5)})
+            self.layers = nn.ModuleList(
+                RSTBMirror(d, h) for d, h in zip(depths, heads))
+            self.norm = nn.LayerNorm(dim, eps=1e-5)
+            if upsampler == "pixelshuffle":
+                self.conv_after_body = nn.Conv2d(dim, dim, 3, padding=1)
+                self.conv_before_upsample = nn.Sequential(
+                    nn.Conv2d(dim, num_feat, 3, padding=1))
+                ups: list[nn.Module] = []
+                s = scale
+                while s % 2 == 0 and s > 1:
+                    ups += [nn.Conv2d(num_feat, 4 * num_feat, 3, padding=1),
+                            nn.PixelShuffle(2)]
+                    s //= 2
+                if s == 3:
+                    ups += [nn.Conv2d(num_feat, 9 * num_feat, 3, padding=1),
+                            nn.PixelShuffle(3)]
+                self.upsample = nn.Sequential(*ups)
+                self.conv_last = nn.Conv2d(num_feat, in_chans, 3, padding=1)
+            elif upsampler == "pixelshuffledirect":
+                self.conv_after_body = nn.Conv2d(dim, dim, 3, padding=1)
+                self.upsample = nn.Sequential(
+                    nn.Conv2d(dim, in_chans * scale**2, 3, padding=1),
+                    nn.PixelShuffle(scale))
+            else:
+                msg = f"swinir ONNX mirror: unsupported upsampler {upsampler}"
+                raise ValueError(msg)
+
+        def forward(self, x):
+            mean = 0.5 if in_chans == 3 else 0.0
+            x = (x - mean) * img_range
+            feat = self.conv_first(x).permute(0, 2, 3, 1)  # BHWC
+            h = feat
+            if patch_norm:
+                h = self.patch_embed["norm"](h)
+            for layer in self.layers:
+                h = layer(h)
+            h = self.norm(h)
+            h = conv2d_bhwc(self.conv_after_body, h) + feat
+            h = h.permute(0, 3, 1, 2)  # NCHW for the head
+            if upsampler == "pixelshuffle":
+                h = F.leaky_relu(self.conv_before_upsample[0](h), 0.01)
+                out = self.conv_last(self.upsample(h))
+            else:
+                out = self.upsample(h)
+            return out / img_range + mean
+
+    return SwinIRMirror()
+
+
 _MIRRORS = {
     "compact": _compact_mirror,
     "span": _span_mirror,
@@ -491,6 +671,7 @@ _MIRRORS = {
     "plksr": _plksr_mirror,
     "realplksr": _realplksr_mirror,
     "spanplus": _spanplus_mirror,
+    "swinir": _swinir_mirror,
 }
 
 

@@ -24,6 +24,12 @@ CASES = [
     ("plksr", {"dim": 16, "n_blocks": 2, "kernel_size": 13}, 4),
     ("plksr", {"dim": 16, "n_blocks": 2, "kernel_size": 13,
                "ccm_type": "ICCM", "use_ea": False}, 2),
+    ("swinir", {"embed_dim": 16, "depths": [2, 2], "num_heads": [2, 2],
+                "window_size": 8, "mlp_ratio": 1.0, "drop_path_rate": 0.0,
+                "upsampler": "pixelshuffledirect"}, 4),
+    ("swinir", {"embed_dim": 16, "depths": [2], "num_heads": [2],
+                "window_size": 8, "mlp_ratio": 1.0, "drop_path_rate": 0.0,
+                "upsampler": "pixelshuffle"}, 4),
 ]
 
 
