@@ -664,6 +664,263 @@ def _swinir_mirror(opt: dict[str, Any], scale: int):
     return SwinIRMirror()
 
 
+def _hat_mirror(opt: dict[str, Any], scale: int):
+    """Torch mirror of our flax HAT (archs/hat.py): HAB (W-MSA + channel-
+    attention conv branch, conv_scale) + OCAB per group, pixelshuffle head.
+    BHWC-internal like the swinir mirror; static window-multiple sizes."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from neosr_tpu.archs.hat import rpi_oca
+    from neosr_tpu.archs.swin_util import (
+        relative_position_index,
+        shift_attn_mask,
+    )
+
+    dim = opt.get("embed_dim", 96)
+    depths = list(opt.get("depths", (6, 6, 6, 6)))
+    heads = list(opt.get("num_heads", (6,) * len(depths)))
+    win = opt.get("window_size", 7)
+    compress = opt.get("compress_ratio", 3)
+    squeeze = opt.get("squeeze_factor", 30)
+    conv_scale = opt.get("conv_scale", 0.01)
+    overlap = opt.get("overlap_ratio", 0.5)
+    mlp_ratio = opt.get("mlp_ratio", 4.0)
+    qkv_bias = opt.get("qkv_bias", True)
+    patch_norm = opt.get("patch_norm", True)
+    img_range = opt.get("img_range", 1.0)
+    in_chans = opt.get("in_chans", 3)
+    num_feat = 64
+    wse = int(overlap * win) + win
+
+    class MlpM(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            hidden = int(dim * mlp_ratio)
+            self.fc1, self.fc2 = nn.Linear(dim, hidden), nn.Linear(hidden, dim)
+
+        def forward(self, x):
+            return self.fc2(F.gelu(self.fc1(x)))
+
+    class AttnMirror(nn.Module):  # same math as the swinir mirror W-MSA
+        def __init__(self, n_heads: int) -> None:
+            super().__init__()
+            self.n_heads = n_heads
+            self.qkv = nn.Linear(dim, dim * 3, bias=qkv_bias)
+            self.proj = nn.Linear(dim, dim)
+            self.relative_position_bias_table = nn.Parameter(
+                torch.zeros((2 * win - 1) ** 2, n_heads))
+            self.register_buffer(
+                "rpi",
+                torch.from_numpy(relative_position_index(win, win).copy()).long(),
+                persistent=False)
+
+        def forward(self, xw, mask):
+            b_, n, c = xw.shape
+            d = c // self.n_heads
+            qkv = self.qkv(xw).reshape(b_, n, 3, self.n_heads, d)
+            qkv = qkv.permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = (q * d**-0.5) @ k.transpose(-2, -1)
+            bias = self.relative_position_bias_table[self.rpi.view(-1)]
+            attn = attn + bias.view(n, n, self.n_heads).permute(2, 0, 1)[None]
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.view(b_ // nw, nw, self.n_heads, n, n)
+                attn = attn + mask[None, :, None]
+                attn = attn.view(b_, self.n_heads, n, n)
+            attn = torch.softmax(attn, dim=-1)
+            return self.proj((attn @ v).transpose(1, 2).reshape(b_, n, c))
+
+    class CABM(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            mid = dim // compress
+            att = dim // squeeze
+            self.cab = nn.Sequential(
+                nn.Conv2d(dim, mid, 3, padding=1), nn.Identity(),
+                nn.Conv2d(mid, dim, 3, padding=1),
+                nn.ModuleDict({"attention": nn.Sequential(
+                    nn.Identity(), nn.Conv2d(dim, att, 1), nn.Identity(),
+                    nn.Conv2d(att, dim, 1))}),
+            )
+
+        def forward(self, x):  # x: BHWC
+            y = x.permute(0, 3, 1, 2)
+            y = self.cab[2](F.gelu(self.cab[0](y)))
+            a = y.mean(dim=(2, 3), keepdim=True)
+            a = torch.sigmoid(
+                self.cab[3]["attention"][3](F.relu(self.cab[3]["attention"][1](a))))
+            return (y * a).permute(0, 2, 3, 1)
+
+    class HABM(nn.Module):
+        def __init__(self, n_heads: int, shift: int) -> None:
+            super().__init__()
+            self.shift = shift
+            self.norm1 = nn.LayerNorm(dim, eps=1e-5)
+            self.attn = AttnMirror(n_heads)
+            self.conv_block = CABM()
+            self.norm2 = nn.LayerNorm(dim, eps=1e-5)
+            self.mlp = MlpM()
+
+        def forward(self, x):
+            b, h, w, c = x.shape
+            shift = self.shift if min(h, w) > win else 0
+            shortcut = x
+            x = self.norm1(x)
+            conv_x = self.conv_block(x)
+            if shift > 0:
+                sx = torch.roll(x, (-shift, -shift), dims=(1, 2))
+                mask = torch.from_numpy(
+                    shift_attn_mask(h, w, win, shift).copy()).to(x.dtype)
+            else:
+                sx, mask = x, None
+            xw = sx.view(b, h // win, win, w // win, win, c)
+            xw = xw.permute(0, 1, 3, 2, 4, 5).reshape(-1, win * win, c)
+            xw = self.attn(xw, mask)
+            sx = xw.view(b, h // win, w // win, win, win, c)
+            sx = sx.permute(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+            if shift > 0:
+                sx = torch.roll(sx, (shift, shift), dims=(1, 2))
+            x = shortcut + sx + conv_x * conv_scale
+            return x + self.mlp(self.norm2(x))
+
+    class OCABM(nn.Module):
+        def __init__(self, n_heads: int) -> None:
+            super().__init__()
+            self.n_heads = n_heads
+            self.norm1 = nn.LayerNorm(dim, eps=1e-5)
+            self.qkv = nn.Linear(dim, dim * 3, bias=qkv_bias)
+            self.proj = nn.Linear(dim, dim)
+            self.relative_position_bias_table = nn.Parameter(
+                torch.zeros((win + wse - 1) ** 2, n_heads))
+            self.register_buffer(
+                "rpi", torch.from_numpy(rpi_oca(win, wse).copy()).long(),
+                persistent=False)
+            self.norm2 = nn.LayerNorm(dim, eps=1e-5)
+            self.mlp = MlpM()
+
+        def forward(self, x):
+            b, h, w, c = x.shape
+            pad = (wse - win) // 2
+            d = c // self.n_heads
+            shortcut = x
+            x = self.norm1(x)
+            qkv = self.qkv(x)
+            q, kv = qkv[..., :c], qkv[..., c:]
+            qw = q.view(b, h // win, win, w // win, win, c)
+            qw = qw.permute(0, 1, 3, 2, 4, 5).reshape(-1, win * win, c)
+            # overlapping kv windows at stride win from the padded map,
+            # built from slices + reshapes + concat (same scheme as the
+            # flax _overlap_windows; Tensor.unfold is not ONNX-exportable)
+            kvp = F.pad(kv.permute(0, 3, 1, 2), (pad, pad, pad, pad))
+            kvp = kvp.permute(0, 2, 3, 1)  # (b, Hp, Wp, 2c)
+            nq_pieces = -(-wse // win)
+
+            def expand(t, n_blocks, axis):
+                need = (n_blocks + nq_pieces - 1) * win + win
+                pad_amt = need - t.shape[axis]
+                if pad_amt > 0:
+                    zshape = list(t.shape)
+                    zshape[axis] = pad_amt
+                    t = torch.cat(
+                        [t, torch.zeros(zshape, dtype=t.dtype)], dim=axis)
+                pieces = []
+                for qi in range(nq_pieces):
+                    sl = [slice(None)] * t.ndim
+                    sl[axis] = slice(qi * win, qi * win + n_blocks * win)
+                    piece = t[tuple(sl)]
+                    new_shape = list(piece.shape)
+                    new_shape[axis: axis + 1] = [n_blocks, win]
+                    pieces.append(piece.reshape(new_shape))
+                out = torch.cat(pieces, dim=axis + 1)
+                sl = [slice(None)] * out.ndim
+                sl[axis + 1] = slice(0, wse)
+                return out[tuple(sl)]
+
+            t = expand(kvp, h // win, 1)       # (b, nh, wse, Wp, 2c)
+            t = expand(t, w // win, 3)         # (b, nh, wse, nw, wse, 2c)
+            kvw = t.permute(0, 1, 3, 2, 4, 5).reshape(-1, wse * wse, 2 * c)
+            kw, vw = kvw[..., :c], kvw[..., c:]
+            b_, nq, _ = qw.shape
+            n = kw.shape[1]
+            qh = qw.reshape(b_, nq, self.n_heads, d).permute(0, 2, 1, 3)
+            kh = kw.reshape(b_, n, self.n_heads, d).permute(0, 2, 1, 3)
+            vh = vw.reshape(b_, n, self.n_heads, d).permute(0, 2, 1, 3)
+            attn = (qh * d**-0.5) @ kh.transpose(-2, -1)
+            bias = self.relative_position_bias_table[self.rpi.view(-1)]
+            attn = attn + bias.view(nq, n, self.n_heads).permute(2, 0, 1)[None]
+            attn = torch.softmax(attn, dim=-1)
+            out = (attn @ vh).transpose(1, 2).reshape(b_, nq, c)
+            out = out.view(b, h // win, w // win, win, win, c)
+            out = out.permute(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+            x = self.proj(out) + shortcut
+            return x + self.mlp(self.norm2(x))
+
+    class RHAGM(nn.Module):
+        def __init__(self, depth: int, n_heads: int) -> None:
+            super().__init__()
+            self.residual_group = nn.ModuleDict({
+                "blocks": nn.ModuleList(
+                    HABM(n_heads, 0 if j % 2 == 0 else win // 2)
+                    for j in range(depth)),
+                "overlap_attn": OCABM(n_heads),
+            })
+            self.conv = nn.Conv2d(dim, dim, 3, padding=1)
+
+        def forward(self, x):
+            res = x
+            for blk in self.residual_group["blocks"]:
+                x = blk(x)
+            x = self.residual_group["overlap_attn"](x)
+            x = self.conv(x.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            return x + res
+
+    class HATMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.conv_first = nn.Conv2d(in_chans, dim, 3, padding=1)
+            if patch_norm:
+                self.patch_embed = nn.ModuleDict(
+                    {"norm": nn.LayerNorm(dim, eps=1e-5)})
+            self.layers = nn.ModuleList(
+                RHAGM(d, h) for d, h in zip(depths, heads))
+            self.norm = nn.LayerNorm(dim, eps=1e-5)
+            self.conv_after_body = nn.Conv2d(dim, dim, 3, padding=1)
+            self.conv_before_upsample = nn.Sequential(
+                nn.Conv2d(dim, num_feat, 3, padding=1))
+            ups: list[nn.Module] = []
+            s = scale
+            while s % 2 == 0 and s > 1:
+                ups += [nn.Conv2d(num_feat, 4 * num_feat, 3, padding=1),
+                        nn.PixelShuffle(2)]
+                s //= 2
+            if s == 3:
+                ups += [nn.Conv2d(num_feat, 9 * num_feat, 3, padding=1),
+                        nn.PixelShuffle(3)]
+            self.upsample = nn.Sequential(*ups)
+            self.conv_last = nn.Conv2d(num_feat, in_chans, 3, padding=1)
+
+        def forward(self, x):
+            mean = 0.5 if in_chans == 3 else 0.0
+            x = (x - mean) * img_range
+            feat = self.conv_first(x).permute(0, 2, 3, 1)
+            h = feat
+            if patch_norm:
+                h = self.patch_embed["norm"](h)
+            for layer in self.layers:
+                h = layer(h)
+            h = self.norm(h)
+            h = self.conv_after_body(h.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            h = (h + feat).permute(0, 3, 1, 2)
+            h = F.leaky_relu(self.conv_before_upsample[0](h), 0.01)
+            out = self.conv_last(self.upsample(h))
+            return out / img_range + mean
+
+    return HATMirror()
+
+
 _MIRRORS = {
     "compact": _compact_mirror,
     "span": _span_mirror,
@@ -672,6 +929,7 @@ _MIRRORS = {
     "realplksr": _realplksr_mirror,
     "spanplus": _spanplus_mirror,
     "swinir": _swinir_mirror,
+    "hat": _hat_mirror,
 }
 
 

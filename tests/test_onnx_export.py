@@ -30,6 +30,9 @@ CASES = [
     ("swinir", {"embed_dim": 16, "depths": [2], "num_heads": [2],
                 "window_size": 8, "mlp_ratio": 1.0, "drop_path_rate": 0.0,
                 "upsampler": "pixelshuffle"}, 4),
+    ("hat", {"embed_dim": 24, "depths": [2, 2], "num_heads": [3, 3],
+             "window_size": 8, "mlp_ratio": 2.0, "compress_ratio": 3,
+             "squeeze_factor": 6, "drop_path_rate": 0.0}, 4),
 ]
 
 
