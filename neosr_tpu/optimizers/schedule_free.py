@@ -174,18 +174,50 @@ def _find_adan_sf(opt_state) -> AdanSFState | None:
     return found[0] if found else None
 
 
+def _maybe_unflatten(fn, z, params):
+    """Apply elementwise eval fn when the optimizer state is stored flat
+    (optax.flatten / `fused` mode): ravel params, compute, unravel."""
+    import jax.flatten_util
+
+    flat, unravel = jax.flatten_util.ravel_pytree(params)
+    return unravel(fn(flat, z.astype(flat.dtype)))
+
+
 def sf_eval_params(opt_state, params):
     """Return the averaged (x) iterate for validation / checkpointing.
 
     If the optimizer isn't schedule-free, returns params unchanged.
+    Handles both tree-shaped and flattened (`fused`) optimizer state.
     """
     sf = _find_adan_sf(opt_state)
     if sf is not None:
+        z = sf.z
+        if isinstance(z, jnp.ndarray) and z.ndim == 1 \
+                and not isinstance(params, jnp.ndarray):
+            w = 1.0 - 1.0 / sf.b1
+            return _maybe_unflatten(lambda y, z_: y + w * (z_ - y), z, params)
         return adan_sf_eval_params(sf, params)
     try:
         return optax.contrib.schedule_free_eval_params(opt_state, params)
     except Exception:
-        return params
+        pass
+    # optax ScheduleFreeState with flat z under optax.flatten
+    found = []
+
+    def _check(s):
+        if isinstance(s, optax.contrib.ScheduleFreeState):
+            found.append(s)
+
+    jax.tree.map(_check, opt_state,
+                 is_leaf=lambda s: isinstance(s, optax.contrib.ScheduleFreeState))
+    if found:
+        st = found[0]
+        z = st.z
+        if isinstance(z, jnp.ndarray) and z.ndim == 1 \
+                and not isinstance(params, jnp.ndarray):
+            return _maybe_unflatten(
+                lambda y, z_: (y - (1.0 - st.b1) * z_) / st.b1, z, params)
+    return params
 
 
 def is_schedule_free(opt_state) -> bool:
