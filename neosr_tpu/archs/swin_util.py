@@ -140,18 +140,28 @@ def window_attention(
     d = q.shape[-1]
     scale = scale if scale is not None else d**-0.5
 
-    attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k,
-                      preferred_element_type=jnp.float32)
-    if bias is not None:
-        attn = attn + bias[None]
-    if mask is not None:
-        nw = mask.shape[0]
-        b_ = attn.shape[0]
-        attn = attn.reshape(b_ // nw, nw, *attn.shape[1:])
-        attn = attn + mask[None, :, None, :, :]
-        attn = attn.reshape(b_, *attn.shape[2:])
-    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    def _core(q_, k_, v_, bias_, mask_):
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q_ * scale, k_,
+                          preferred_element_type=jnp.float32)
+        if bias_ is not None:
+            attn = attn + bias_[None]
+        if mask_ is not None:
+            nw = mask_.shape[0]
+            b_ = attn.shape[0]
+            attn = attn.reshape(b_ // nw, nw, *attn.shape[1:])
+            attn = attn + mask_[None, :, None, :, :]
+            attn = attn.reshape(b_, *attn.shape[2:])
+        attn = jax.nn.softmax(attn, axis=-1).astype(v_.dtype)
+        return jnp.einsum("bhnm,bhmd->bhnd", attn, v_)
+
+    # remat the (B_, heads, N, N) fp32 logits: they are the dominant
+    # activation of every swin-family train step (50 MB/block for
+    # swinir_medium b8) and recomputing one QK^T einsum in the backward is
+    # far cheaper than streaming them through HBM — this is the flash-
+    # attention memory trick at the XLA level, without a custom kernel.
+    return jax.checkpoint(
+        _core, policy=jax.checkpoint_policies.nothing_saveable
+    )(q, k, v, bias, mask)
 
 
 class WindowAttention(nn.Module):
