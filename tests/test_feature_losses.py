@@ -263,8 +263,11 @@ def test_vgg_perceptual_grafted_parity(tmp_path, monkeypatch, cpu_only_torch, pa
 
     rng = np.random.default_rng(5)
     size = 128 if patch else 32  # conv5_4 patch kernel 8 needs >=128px input
-    a = rng.random((2, size, size, 3)).astype(np.float32)
-    b = rng.random((2, size, size, 3)).astype(np.float32)
+    # batch 1 for the big patch variant (the 32px run covers batch>1);
+    # halves the slowest test in the suite (two 128px VGG19 forwards)
+    bsz = 1 if patch else 2
+    a = rng.random((bsz, size, size, 3)).astype(np.float32)
+    b = rng.random((bsz, size, size, 3)).astype(np.float32)
     import jax.numpy as jnp
 
     v_ours = float(ours(jnp.asarray(a), jnp.asarray(b)))
