@@ -921,6 +921,266 @@ def _hat_mirror(opt: dict[str, Any], scale: int):
     return HATMirror()
 
 
+def _atd_mirror(opt: dict[str, Any], scale: int):
+    """Torch mirror of our flax ATD (archs/atd.py): shared-qkv SW-MSA +
+    token-dictionary cross-attention (ATD-CA) + category-sorted grouped
+    MSA (AC-MSA) + ConvFFN + per-block dictionary refinement."""
+    import numpy as np_
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from neosr_tpu.archs.swin_util import (
+        relative_position_index,
+        shift_attn_mask,
+    )
+
+    dim = opt.get("embed_dim", 210)
+    depths = list(opt.get("depths", (6,) * 6))
+    heads = list(opt.get("num_heads", (6,) * len(depths)))
+    win = opt.get("window_size", 16)
+    category = opt.get("category_size", 256)
+    num_tokens = opt.get("num_tokens", 128)
+    rdim = opt.get("reducted_dim", 20)
+    ffk = opt.get("convffn_kernel_size", 5)
+    mlp_ratio = opt.get("mlp_ratio", 2.0)
+    qkv_bias = opt.get("qkv_bias", True)
+    patch_norm = opt.get("patch_norm", True)
+    img_range = opt.get("img_range", 1.0)
+    upsampler = opt.get("upsampler", "pixelshuffle")
+    norm_in = opt.get("norm", False)
+    in_chans = opt.get("in_chans", 3)
+    num_feat = 64
+
+    class AttnWin(nn.Module):  # W-MSA over precomputed qkv windows
+        def __init__(self, n_heads: int) -> None:
+            super().__init__()
+            self.n_heads = n_heads
+            self.proj = nn.Linear(dim, dim)
+            self.relative_position_bias_table = nn.Parameter(
+                torch.zeros((2 * win - 1) ** 2, n_heads))
+            self.register_buffer(
+                "rpi",
+                torch.from_numpy(relative_position_index(win, win).copy()).long(),
+                persistent=False)
+
+        def forward(self, qkvw, mask):
+            b_, n, c3 = qkvw.shape
+            c = c3 // 3
+            d = c // self.n_heads
+            qkv = qkvw.reshape(b_, n, 3, self.n_heads, d).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = (q * d**-0.5) @ k.transpose(-2, -1)
+            bias = self.relative_position_bias_table[self.rpi.view(-1)]
+            attn = attn + bias.view(n, n, self.n_heads).permute(2, 0, 1)[None]
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.view(b_ // nw, nw, self.n_heads, n, n)
+                attn = attn + mask[None, :, None]
+                attn = attn.view(b_, self.n_heads, n, n)
+            attn = torch.softmax(attn, dim=-1)
+            return self.proj((attn @ v).transpose(1, 2).reshape(b_, n, c))
+
+    class AttnATD(nn.Module):  # token-dictionary cross attention
+        def __init__(self) -> None:
+            super().__init__()
+            self.wq = nn.Linear(dim, rdim, bias=qkv_bias)
+            self.wk = nn.Linear(dim, rdim, bias=qkv_bias)
+            self.wv = nn.Linear(dim, dim, bias=qkv_bias)
+            self.scale = nn.Parameter(torch.full((num_tokens,), 0.5))
+
+        def forward(self, tokens, td):
+            q = self.wq(tokens)
+            k = self.wk(td)
+            v = self.wv(td)
+            qn = q / (q.norm(dim=-1, keepdim=True) + 1e-12)
+            kn = k / (k.norm(dim=-1, keepdim=True) + 1e-12)
+            attn = qn @ kn.transpose(-2, -1)
+            attn = attn * (1.0 + torch.clamp(self.scale, 0, 1)
+                           * float(np_.log(num_tokens)))
+            attn = torch.softmax(attn, dim=-1)
+            return attn @ v, attn
+
+    class AttnACA(nn.Module):  # category-sorted grouped MSA
+        def __init__(self, n_heads: int) -> None:
+            super().__init__()
+            self.n_heads = n_heads
+            self.proj = nn.Linear(dim, dim, bias=qkv_bias)
+            self.logit_scale = nn.Parameter(
+                torch.full((1, 1), float(np_.log(10.0))))
+
+        def forward(self, qkv, sim):
+            b, n, c3 = qkv.shape
+            c = c3 // 3
+            gs = min(n, category)
+            ng = (n + gs - 1) // gs
+            pad_n = ng * gs - n
+            tk_id = sim.argmax(dim=-1)
+            # stable sort via unique keys (tk_id*n + position): ONNX has no
+            # stable Sort, but ties broken by position give the same order
+            pos = torch.arange(n, device=sim.device)
+            order = (tk_id * n + pos[None]).argsort(dim=-1)
+            inverse = order.argsort(dim=-1)
+            shuffled = torch.gather(
+                qkv, 1, order.unsqueeze(-1).expand(-1, -1, c3))
+            if pad_n:
+                tail = shuffled[:, n - pad_n: n, :].flip(1)
+                shuffled = torch.cat([shuffled, tail], dim=1)
+            d = c // self.n_heads
+            y = shuffled.reshape(b, ng, gs, 3, self.n_heads, d)
+            y = y.permute(3, 0, 1, 4, 2, 5)
+            q, k, v = y[0], y[1], y[2]
+            ls = torch.exp(torch.clamp_max(
+                self.logit_scale, float(np_.log(1.0 / 0.01))))
+            attn = torch.softmax((q @ k.transpose(-2, -1)) * ls, dim=-1)
+            out = (attn @ v).permute(0, 1, 3, 2, 4).reshape(b, ng * gs, c)
+            out = out[:, :n, :]
+            out = torch.gather(out, 1, inverse.unsqueeze(-1).expand(-1, -1, c))
+            return self.proj(out)
+
+    class ConvFFNM(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            hidden = int(dim * mlp_ratio)
+            self.fc1 = nn.Linear(dim, hidden)
+            self.fc2 = nn.Linear(hidden, dim)
+            self.dwconv = nn.ModuleDict({"depthwise_conv": nn.Sequential(
+                nn.Conv2d(hidden, hidden, ffk, padding=(ffk - 1) // 2,
+                          groups=hidden))})
+
+        def forward(self, x):  # BHWC
+            h = F.gelu(self.fc1(x))
+            dw = self.dwconv["depthwise_conv"][0](
+                h.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            return self.fc2(h + F.gelu(dw))
+
+    class LayerM(nn.Module):
+        def __init__(self, n_heads: int, shift: int, is_last: bool) -> None:
+            super().__init__()
+            self.shift, self.is_last = shift, is_last
+            self.norm1 = nn.LayerNorm(dim, eps=1e-5)
+            self.norm2 = nn.LayerNorm(dim, eps=1e-5)
+            self.wqkv = nn.Linear(dim, 3 * dim, bias=qkv_bias)
+            self.attn_win = AttnWin(n_heads)
+            self.attn_atd = AttnATD()
+            self.attn_aca = AttnACA(n_heads)
+            self.convffn = ConvFFNM()
+            if not is_last:
+                self.sigma = nn.Parameter(torch.zeros(num_tokens, 1))
+                self.norm3 = nn.InstanceNorm1d(num_tokens, affine=True)
+
+        def forward(self, x, td):
+            b, h, w, c = x.shape
+            shift = self.shift if min(h, w) > win else 0
+            n = h * w
+            shortcut = x
+            xl = self.norm1(x)
+            tokens = xl.reshape(b, n, c)
+            qkv = self.wqkv(tokens)
+            x_atd, sim = self.attn_atd(tokens, td)
+            x_aca = self.attn_aca(qkv, sim)
+            qkv_sp = qkv.reshape(b, h, w, 3 * c)
+            if shift > 0:
+                qkv_sp = torch.roll(qkv_sp, (-shift, -shift), dims=(1, 2))
+                mask = torch.from_numpy(
+                    shift_attn_mask(h, w, win, shift).copy()).to(x.dtype)
+            else:
+                mask = None
+            qw = qkv_sp.view(b, h // win, win, w // win, win, 3 * c)
+            qw = qw.permute(0, 1, 3, 2, 4, 5).reshape(-1, win * win, 3 * c)
+            aw = self.attn_win(qw, mask)
+            x_win = aw.view(b, h // win, w // win, win, win, c)
+            x_win = x_win.permute(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+            if shift > 0:
+                x_win = torch.roll(x_win, (shift, shift), dims=(1, 2))
+            x = shortcut + x_win + (x_atd + x_aca).reshape(b, h, w, c)
+            x = x + self.convffn(self.norm2(x))
+            if not self.is_last:
+                m = torch.softmax(
+                    self.norm3(sim.transpose(1, 2).float()), dim=-1)
+                s = torch.sigmoid(self.sigma)
+                td = s * td + (1 - s) * (m.to(td.dtype) @ x.reshape(b, n, c))
+            return x, td
+
+    class ATDBM(nn.Module):
+        def __init__(self, depth: int, n_heads: int) -> None:
+            super().__init__()
+            self.residual_group = nn.ModuleDict({"layers": nn.ModuleList(
+                LayerM(n_heads, 0 if j % 2 == 0 else win // 2,
+                       is_last=(j == depth - 1))
+                for j in range(depth))})
+            self.residual_group.td = nn.Parameter(
+                torch.zeros(num_tokens, dim))
+            self.conv = nn.Conv2d(dim, dim, 3, padding=1)
+
+        def forward(self, x):
+            b = x.shape[0]
+            td = self.residual_group.td[None].expand(b, -1, -1).to(x.dtype)
+            res = x
+            for layer in self.residual_group["layers"]:
+                x, td = layer(x, td)
+            x = self.conv(x.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            return x + res
+
+    class ATDMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.conv_first = nn.Conv2d(in_chans, dim, 3, padding=1)
+            if patch_norm:
+                self.patch_embed = nn.ModuleDict(
+                    {"norm": nn.LayerNorm(dim, eps=1e-5)})
+            self.layers = nn.ModuleList(
+                ATDBM(d, h) for d, h in zip(depths, heads))
+            self.norm = nn.LayerNorm(dim, eps=1e-5)
+            self.conv_after_body = nn.Conv2d(dim, dim, 3, padding=1)
+            if upsampler == "pixelshuffle":
+                self.conv_before_upsample = nn.Sequential(
+                    nn.Conv2d(dim, num_feat, 3, padding=1))
+                ups: list[nn.Module] = []
+                s = scale
+                while s % 2 == 0 and s > 1:
+                    ups += [nn.Conv2d(num_feat, 4 * num_feat, 3, padding=1),
+                            nn.PixelShuffle(2)]
+                    s //= 2
+                if s == 3:
+                    ups += [nn.Conv2d(num_feat, 9 * num_feat, 3, padding=1),
+                            nn.PixelShuffle(3)]
+                self.upsample = nn.Sequential(*ups)
+                self.conv_last = nn.Conv2d(num_feat, in_chans, 3, padding=1)
+            elif upsampler == "pixelshuffledirect":
+                self.upsample = nn.Sequential(
+                    nn.Conv2d(dim, in_chans * scale**2, 3, padding=1),
+                    nn.PixelShuffle(scale))
+            else:
+                msg = f"atd ONNX mirror: unsupported upsampler {upsampler}"
+                raise ValueError(msg)
+
+        def forward(self, x):
+            mean = 0.5 if in_chans == 3 else 0.0
+            if norm_in:
+                x = (x - mean) * img_range
+            feat = self.conv_first(x).permute(0, 2, 3, 1)
+            h = feat
+            if patch_norm:
+                h = self.patch_embed["norm"](h)
+            for layer in self.layers:
+                h = layer(h)
+            h = self.norm(h)
+            h = self.conv_after_body(
+                h.permute(0, 3, 1, 2)).permute(0, 2, 3, 1) + feat
+            h = h.permute(0, 3, 1, 2)
+            if upsampler == "pixelshuffle":
+                h = F.leaky_relu(self.conv_before_upsample[0](h), 0.01)
+                out = self.conv_last(self.upsample(h))
+            else:
+                out = self.upsample(h)
+            if norm_in:
+                out = out / img_range + mean
+            return out
+
+    return ATDMirror()
+
+
 _MIRRORS = {
     "compact": _compact_mirror,
     "span": _span_mirror,
@@ -930,6 +1190,7 @@ _MIRRORS = {
     "spanplus": _spanplus_mirror,
     "swinir": _swinir_mirror,
     "hat": _hat_mirror,
+    "atd": _atd_mirror,
 }
 
 
