@@ -80,3 +80,32 @@ def test_adan_sf_trajectory_parity(warmup, wd, mgn):
                                    err_msg=f"y-iterate diverged @50*{i + 1}")
     np.testing.assert_allclose(jax_eval, torch_eval, rtol=2e-4, atol=2e-5,
                                err_msg="eval (x) iterate diverged")
+
+
+@pytest.mark.parametrize("otype", [
+    "adam", "adamw", "nadam", "adan", "adan_sf", "adamw_sf", "adamw_win",
+])
+def test_every_optimizer_steps_fused(otype):
+    """Every registered optimizer builds, steps, and stays finite under the
+    default fused (flattened) wrapping, and SF eval-params unravels."""
+    import jax
+    import jax.numpy as jnp
+
+    from neosr_tpu.optimizers import build_optimizer
+    from neosr_tpu.optimizers.schedule_free import sf_eval_params
+
+    params = {
+        "a": {"kernel": jnp.ones((4, 5)), "bias": jnp.zeros((5,))},
+        "b": {"kernel": jnp.full((5, 2), 0.5)},
+    }
+    optim, _lr = build_optimizer({"type": otype, "lr": 1e-3}, None, 100, -1)
+    state = optim.init(params)
+    for i in range(3):
+        grads = jax.tree.map(lambda p: 0.01 * (i + 1) * jnp.ones_like(p), params)
+        updates, state = optim.update(grads, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+    leaves = jax.tree_util.tree_leaves(params)
+    assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+    ev = sf_eval_params(state, params)
+    assert jax.tree_util.tree_structure(ev) == jax.tree_util.tree_structure(params)
+    assert all(bool(jnp.isfinite(l).all()) for l in jax.tree_util.tree_leaves(ev))
