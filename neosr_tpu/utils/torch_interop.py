@@ -984,9 +984,12 @@ def to_torch_state_dict(
     norm -> no_norm marker)."""
     from neosr_tpu.utils.checkpoint import flatten_params
 
+    from neosr_tpu.utils.torch_interop_ext import EXT_EXPORTERS
+
+    exporters = {**EXPORTERS, **EXT_EXPORTERS}
     fam = family(arch_type)
-    if fam is None or fam not in EXPORTERS:
-        supported = ", ".join(sorted(EXPORTERS))
+    if fam is None or fam not in exporters:
+        supported = ", ".join(sorted(exporters))
         msg = (
             f"No torch-layout exporter for arch '{arch_type}' "
             f"(supported: {supported}). Use safetensors/StableHLO export."
@@ -994,8 +997,8 @@ def to_torch_state_dict(
         raise ValueError(msg)
     flat = {k: np.asarray(v, np.float32) for k, v in flatten_params(params).items()}
     if fam in ("span", "atd"):  # norm flag shapes the torch buffer set
-        return EXPORTERS[fam](flat, norm=bool(arch_opts.get("norm", False)))
-    return EXPORTERS[fam](flat)
+        return exporters[fam](flat, norm=bool(arch_opts.get("norm", False)))
+    return exporters[fam](flat)
 
 
 def save_torch_checkpoint(

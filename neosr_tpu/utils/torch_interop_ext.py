@@ -1069,3 +1069,59 @@ EXT_CONVERTERS: dict[str, Callable[[dict], dict]] = {
     "hma": convert_hma,
     "craft": convert_craft,
 }
+
+
+# ---------------------------------------------------------------- exporters
+
+
+def _get_swinblock(flat: dict, sc: str, out: dict, tp: str) -> None:
+    """Inverse of _put_swinblock (swin_util.SwinBlock -> reference keys)."""
+    from neosr_tpu.utils.torch_interop import _get_dense, _get_ln
+
+    _get_ln(flat, f"{sc}.LayerNorm_0", out, f"{tp}.norm1")
+    _get_ln(flat, f"{sc}.LayerNorm_1", out, f"{tp}.norm2")
+    wa = f"{sc}.WindowAttention_0"
+    _get_dense(flat, f"{wa}.Dense_0", out, f"{tp}.attn.qkv")
+    _get_dense(flat, f"{wa}.Dense_1", out, f"{tp}.attn.proj")
+    out[f"{tp}.attn.relative_position_bias_table"] = flat[
+        f"{wa}.relative_position_bias_table"]
+    _get_dense(flat, f"{sc}.Mlp_0.Dense_0", out, f"{tp}.mlp.fc1")
+    _get_dense(flat, f"{sc}.Mlp_0.Dense_1", out, f"{tp}.mlp.fc2")
+
+
+def export_drct(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_drct: our RDG params -> reference drct layout
+    (layers.{g}.swin{k}/adjust{k}; derived rpi/mask buffers not emitted)."""
+    from neosr_tpu.utils.torch_interop import _get_conv, _get_ln
+
+    out: dict[str, np.ndarray] = {}
+    _get_conv(flat, "Conv2d_0", out, "conv_first")
+    if "LayerNorm_0.scale" in flat:
+        _get_ln(flat, "LayerNorm_0", out, "patch_embed.norm")
+    _get_ln(flat, "LayerNorm_1", out, "norm")
+    groups = sorted({
+        int(m.group(1)) for key in flat
+        if (m := re.match(r"RDG_(\d+)\.", key))
+    })
+    for g in groups:
+        for k in range(1, 6):
+            _get_swinblock(flat, f"RDG_{g}.SwinBlock_{k - 1}", out,
+                           f"layers.{g}.swin{k}")
+            _get_conv(flat, f"RDG_{g}.Conv2d_{k - 1}", out,
+                      f"layers.{g}.adjust{k}")
+    _get_conv(flat, "Conv2d_1", out, "conv_after_body")
+    if "Upsample_0.Conv2d_0.Conv_0.kernel" in flat:
+        _get_conv(flat, "Conv2d_2", out, "conv_before_upsample.0")
+        k = 0
+        while f"Upsample_0.Conv2d_{k}.Conv_0.kernel" in flat:
+            _get_conv(flat, f"Upsample_0.Conv2d_{k}", out, f"upsample.{2 * k}")
+            k += 1
+        _get_conv(flat, "Conv2d_3", out, "conv_last")
+    else:
+        _get_conv(flat, "Conv2d_2", out, "upsample.0")
+    return out
+
+
+EXT_EXPORTERS: dict[str, Callable[[dict], dict]] = {
+    "drct": export_drct,
+}

@@ -1181,6 +1181,168 @@ def _atd_mirror(opt: dict[str, Any], scale: int):
     return ATDMirror()
 
 
+def _drct_mirror(opt: dict[str, Any], scale: int):
+    """Torch mirror of our flax DRCT (archs/drct.py): RDGs of 5 dense swin
+    blocks with gc-growth adjust convs, 0.2 residual; pixelshuffle head."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from neosr_tpu.archs.swin_util import (
+        relative_position_index,
+        shift_attn_mask,
+    )
+
+    dim = opt.get("embed_dim", 180)
+    depths = list(opt.get("depths", (6,) * 6))
+    heads = list(opt.get("num_heads", (6,) * len(depths)))
+    win = opt.get("window_size", 16)
+    mlp_ratio = opt.get("mlp_ratio", 2.0)
+    qkv_bias = opt.get("qkv_bias", True)
+    gc = opt.get("gc", 32)
+    patch_norm = opt.get("patch_norm", True)
+    img_range = opt.get("img_range", 1.0)
+    upsampler = opt.get("upsampler", "pixelshuffle")
+    in_chans = opt.get("in_chans", 3)
+    num_feat = 64
+
+    class BlockM(nn.Module):  # swin block at arbitrary dim
+        def __init__(self, d_in: int, base_heads: int, shift: int,
+                     mlp: float) -> None:
+            super().__init__()
+            n_heads = base_heads - (d_in % base_heads) \
+                if d_in % base_heads else base_heads
+            self.n_heads, self.shift, self.d = n_heads, shift, d_in
+            self.norm1 = nn.LayerNorm(d_in, eps=1e-5)
+            self.norm2 = nn.LayerNorm(d_in, eps=1e-5)
+            self.attn = nn.ModuleDict({
+                "qkv": nn.Linear(d_in, d_in * 3, bias=qkv_bias),
+                "proj": nn.Linear(d_in, d_in)})
+            self.attn.relative_position_bias_table = nn.Parameter(
+                torch.zeros((2 * win - 1) ** 2, n_heads))
+            self.register_buffer(
+                "rpi",
+                torch.from_numpy(relative_position_index(win, win).copy()).long(),
+                persistent=False)
+            hidden = int(d_in * mlp)
+            self.mlp = nn.ModuleDict({
+                "fc1": nn.Linear(d_in, hidden), "fc2": nn.Linear(hidden, d_in)})
+
+        def forward(self, x):
+            b, h, w, c = x.shape
+            shift = self.shift if min(h, w) > win else 0
+            shortcut = x
+            x = self.norm1(x)
+            if shift > 0:
+                x = torch.roll(x, (-shift, -shift), dims=(1, 2))
+                mask = torch.from_numpy(
+                    shift_attn_mask(h, w, win, shift).copy()).to(x.dtype)
+            else:
+                mask = None
+            xw = x.view(b, h // win, win, w // win, win, c)
+            xw = xw.permute(0, 1, 3, 2, 4, 5).reshape(-1, win * win, c)
+            b_, n, _ = xw.shape
+            d = c // self.n_heads
+            qkv = self.attn["qkv"](xw).reshape(b_, n, 3, self.n_heads, d)
+            qkv = qkv.permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = (q * d**-0.5) @ k.transpose(-2, -1)
+            bias = self.attn.relative_position_bias_table[self.rpi.view(-1)]
+            attn = attn + bias.view(n, n, self.n_heads).permute(2, 0, 1)[None]
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.view(b_ // nw, nw, self.n_heads, n, n)
+                attn = attn + mask[None, :, None]
+                attn = attn.view(b_, self.n_heads, n, n)
+            attn = torch.softmax(attn, dim=-1)
+            out = self.attn["proj"](
+                (attn @ v).transpose(1, 2).reshape(b_, n, c))
+            x = out.view(b, h // win, w // win, win, win, c)
+            x = x.permute(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+            if shift > 0:
+                x = torch.roll(x, (shift, shift), dims=(1, 2))
+            x = shortcut + x
+            y = F.gelu(self.mlp["fc1"](self.norm2(x)))
+            return x + self.mlp["fc2"](y)
+
+    class RDGM(nn.Module):
+        def __init__(self, base_heads: int) -> None:
+            super().__init__()
+            dims = [dim, dim + gc, dim + 2 * gc, dim + 3 * gc, dim + 4 * gc]
+            shifts = [0, win // 2, 0, win // 2, 0]
+            mlps = [mlp_ratio, mlp_ratio, mlp_ratio, 1.0, 1.0]
+            outs = [gc, gc, gc, gc, dim]
+            for k in range(5):
+                setattr(self, f"swin{k + 1}",
+                        BlockM(dims[k], base_heads, shifts[k], mlps[k]))
+                setattr(self, f"adjust{k + 1}",
+                        nn.Conv2d(dims[k], outs[k], 1))
+
+        def forward(self, x):
+            def adj(conv, t, act=True):
+                t = conv(t.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+                return F.leaky_relu(t, 0.2) if act else t
+
+            x1 = adj(self.adjust1, self.swin1(x))
+            x2 = adj(self.adjust2, self.swin2(torch.cat([x, x1], -1)))
+            x3 = adj(self.adjust3, self.swin3(torch.cat([x, x1, x2], -1)))
+            x4 = adj(self.adjust4, self.swin4(torch.cat([x, x1, x2, x3], -1)))
+            x5 = adj(self.adjust5,
+                     self.swin5(torch.cat([x, x1, x2, x3, x4], -1)), act=False)
+            return x5 * 0.2 + x
+
+    class DRCTMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.conv_first = nn.Conv2d(in_chans, dim, 3, padding=1)
+            if patch_norm:
+                self.patch_embed = nn.ModuleDict(
+                    {"norm": nn.LayerNorm(dim, eps=1e-5)})
+            self.layers = nn.ModuleList(RDGM(h) for h in heads)
+            self.norm = nn.LayerNorm(dim, eps=1e-5)
+            self.conv_after_body = nn.Conv2d(dim, dim, 3, padding=1)
+            if upsampler == "pixelshuffle":
+                self.conv_before_upsample = nn.Sequential(
+                    nn.Conv2d(dim, num_feat, 3, padding=1))
+                ups: list[nn.Module] = []
+                s = scale
+                while s % 2 == 0 and s > 1:
+                    ups += [nn.Conv2d(num_feat, 4 * num_feat, 3, padding=1),
+                            nn.PixelShuffle(2)]
+                    s //= 2
+                if s == 3:
+                    ups += [nn.Conv2d(num_feat, 9 * num_feat, 3, padding=1),
+                            nn.PixelShuffle(3)]
+                self.upsample = nn.Sequential(*ups)
+                self.conv_last = nn.Conv2d(num_feat, in_chans, 3, padding=1)
+            else:
+                self.upsample = nn.Sequential(
+                    nn.Conv2d(dim, in_chans * scale**2, 3, padding=1),
+                    nn.PixelShuffle(scale))
+
+        def forward(self, x):
+            mean = 0.5 if in_chans == 3 else 0.0
+            x = (x - mean) * img_range
+            feat = self.conv_first(x).permute(0, 2, 3, 1)
+            h = feat
+            if patch_norm:
+                h = self.patch_embed["norm"](h)
+            for layer in self.layers:
+                h = layer(h)
+            h = self.norm(h)
+            h = self.conv_after_body(
+                h.permute(0, 3, 1, 2)).permute(0, 2, 3, 1) + feat
+            h = h.permute(0, 3, 1, 2)
+            if upsampler == "pixelshuffle":
+                h = F.leaky_relu(self.conv_before_upsample[0](h), 0.01)
+                out = self.conv_last(self.upsample(h))
+            else:
+                out = self.upsample(h)
+            return out / img_range + mean
+
+    return DRCTMirror()
+
+
 _MIRRORS = {
     "compact": _compact_mirror,
     "span": _span_mirror,
@@ -1191,6 +1353,7 @@ _MIRRORS = {
     "swinir": _swinir_mirror,
     "hat": _hat_mirror,
     "atd": _atd_mirror,
+    "drct": _drct_mirror,
 }
 
 

@@ -37,6 +37,9 @@ CASES = [
              "window_size": 8, "category_size": 256, "num_tokens": 8,
              "reducted_dim": 4, "convffn_kernel_size": 5, "mlp_ratio": 1.0,
              "upsampler": "pixelshuffledirect"}, 4),
+    ("drct", {"embed_dim": 24, "depths": [2], "num_heads": [3],
+              "window_size": 8, "mlp_ratio": 1.0, "gc": 8,
+              "drop_path_rate": 0.0}, 4),
 ]
 
 

@@ -342,3 +342,15 @@ def test_plksr_pth_export_roundtrip(x, cpu_pinmem):
         {"dim": 32, "n_blocks": 2, "kernel_size": 13, "use_ea": True},
         {"dim": 32, "n_blocks": 2, "kernel_size": 13, "use_ea": True},
         x, train=True)
+
+
+def test_drct_pth_export_roundtrip(x):
+    _roundtrip_strict(
+        "drct_arch", "drct", "drct",
+        {"embed_dim": 24, "depths": (2, 2), "num_heads": (3, 3),
+         "window_size": 8, "mlp_ratio": 1.0, "gc": 8,
+         "drop_path_rate": 0.0},
+        {"embed_dim": 24, "depths": [2, 2], "num_heads": [3, 3],
+         "window_size": 8, "mlp_ratio": 1.0, "gc": 8,
+         "img_size": 16, "upscale": 4, "upsampler": "pixelshuffle"},
+        x, allowed_missing=_SWIN_DERIVED)
