@@ -1125,3 +1125,77 @@ def export_drct(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
 EXT_EXPORTERS: dict[str, Callable[[dict], dict]] = {
     "drct": export_drct,
 }
+
+
+def export_srformer(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_srformer.  Our PSABlock scoping is flat across
+    groups, so the per-group block count is inferred as uniform (true for
+    both reference presets srformer_light/medium, srformer_arch.py:1232-
+    1263); non-uniform depths are not reconstructable from params alone."""
+    from neosr_tpu.utils.torch_interop import (
+        _get_conv,
+        _get_dense,
+        _get_ln,
+        _ik,
+    )
+
+    out: dict[str, np.ndarray] = {}
+    n_blocks = len({
+        int(m.group(1)) for key in flat
+        if (m := re.match(r"PSABlock_(\d+)\.", key))
+    })
+    tops = {
+        int(m.group(1)) for key in flat
+        if (m := re.fullmatch(r"Conv2d_(\d+)\.Conv_0\.kernel", key))
+    }
+    ps_head = any(key.startswith("Upsample_0.") for key in flat)
+    ng = len(tops) - (4 if ps_head else 3)
+    per = n_blocks // ng
+    if per * ng != n_blocks:
+        msg = "srformer export requires uniform depths across groups"
+        raise ValueError(msg)
+
+    _get_conv(flat, "Conv2d_0", out, "conv_first")
+    if "LayerNorm_0.scale" in flat:
+        _get_ln(flat, "LayerNorm_0", out, "patch_embed.norm")
+    _get_ln(flat, "LayerNorm_1", out, "norm")
+    for g in range(ng):
+        for i in range(per):
+            sc = f"PSABlock_{g * per + i}"
+            tp = f"layers.{g}.residual_group.blocks.{i}"
+            _get_ln(flat, f"{sc}.LayerNorm_0", out, f"{tp}.norm1")
+            _get_ln(flat, f"{sc}.LayerNorm_1", out, f"{tp}.norm2")
+            psa = f"{sc}.PSA_0"
+            _get_dense(flat, f"{psa}.Dense_0", out, f"{tp}.attn.kv")
+            _get_dense(flat, f"{psa}.Dense_1", out, f"{tp}.attn.q")
+            _get_dense(flat, f"{psa}.Dense_2", out, f"{tp}.attn.proj")
+            out[f"{tp}.attn.relative_position_bias_table"] = flat[
+                f"{psa}.relative_position_bias_table"]
+            ffn = f"{sc}.ConvFFN_0"
+            _get_dense(flat, f"{ffn}.Dense_0", out, f"{tp}.mlp.fc1")
+            out[f"{tp}.mlp.dwconv.depthwise_conv.0.weight"] = _ik(
+                flat[f"{ffn}.Conv_0.kernel"])
+            out[f"{tp}.mlp.dwconv.depthwise_conv.0.bias"] = flat[
+                f"{ffn}.Conv_0.bias"]
+            _get_dense(flat, f"{ffn}.Dense_1", out, f"{tp}.mlp.fc2")
+        _get_conv(flat, f"Conv2d_{g + 1}", out, f"layers.{g}.conv")
+    _get_conv(flat, f"Conv2d_{ng + 1}", out, "conv_after_body")
+    if ps_head:
+        _get_conv(flat, f"Conv2d_{ng + 2}", out, "conv_before_upsample.0")
+        k = 0
+        while f"Upsample_0.Conv2d_{k}.Conv_0.kernel" in flat:
+            _get_conv(flat, f"Upsample_0.Conv2d_{k}", out, f"upsample.{2 * k}")
+            k += 1
+        _get_conv(flat, f"Conv2d_{ng + 3}", out, "conv_last")
+    else:
+        _get_conv(flat, f"Conv2d_{ng + 2}", out, "upsample.0")
+    return out
+
+
+EXT_EXPORTERS["srformer"] = export_srformer
+
+# NOTE on dat/dctlsa/hma-style export: those archs carry BatchNorm layers
+# whose running statistics we deliberately do not track (import normalizes
+# by batch stats, matching reference train-mode numerics).  A torch-layout
+# export would miss running_mean/var and change eval-mode behavior, so no
+# exporter is provided for them — use safetensors/StableHLO for deploy.

@@ -354,3 +354,14 @@ def test_drct_pth_export_roundtrip(x):
          "window_size": 8, "mlp_ratio": 1.0, "gc": 8,
          "img_size": 16, "upscale": 4, "upsampler": "pixelshuffle"},
         x, allowed_missing=_SWIN_DERIVED)
+
+
+def test_srformer_pth_export_roundtrip(x):
+    _roundtrip_strict(
+        "srformer_arch", "srformer", "srformer",
+        {"embed_dim": 16, "depths": (2, 2), "num_heads": (2, 2),
+         "window_size": 8, "mlp_ratio": 1, "upsampler": "pixelshuffle"},
+        {"embed_dim": 16, "depths": [2, 2], "num_heads": [2, 2],
+         "window_size": 8, "img_size": 16, "mlp_ratio": 1,
+         "upsampler": "pixelshuffle"},
+        x, allowed_missing=(*_SWIN_DERIVED, "aligned_relative_position_index"))
