@@ -1199,3 +1199,209 @@ EXT_EXPORTERS["srformer"] = export_srformer
 # by batch stats, matching reference train-mode numerics).  A torch-layout
 # export would miss running_mean/var and change eval-mode behavior, so no
 # exporter is provided for them — use safetensors/StableHLO for deploy.
+
+
+def _get_raw_conv(flat: dict, key_prefix: str, out: dict, tp: str) -> None:
+    """Inverse of _put_raw_conv (bare nn.Conv scope)."""
+    from neosr_tpu.utils.torch_interop import _ik
+
+    out[f"{tp}.weight"] = _ik(flat[f"{key_prefix}.kernel"])
+    if f"{key_prefix}.bias" in flat:
+        out[f"{tp}.bias"] = flat[f"{key_prefix}.bias"]
+
+
+def _get_deconv(flat: dict, key_prefix: str, out: dict, tp: str) -> None:
+    """Inverse of _put_deconv: (kh,kw,in,out) flipped -> torch (in,out,kh,kw)."""
+    w = flat[f"{key_prefix}.kernel"]
+    out[f"{tp}.weight"] = np.ascontiguousarray(
+        np.transpose(w[::-1, ::-1], (2, 3, 0, 1)))
+    if f"{key_prefix}.bias" in flat:
+        out[f"{tp}.bias"] = flat[f"{key_prefix}.bias"]
+
+
+def _get_scale(flat: dict, key: str, out: dict, torch_key: str) -> None:
+    """flat (C,) channel-scale -> torch (1,C,1,1)."""
+    out[torch_key] = np.asarray(flat[key]).reshape(1, -1, 1, 1)
+
+
+def export_man(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_man (reference man_arch.py layout)."""
+    from neosr_tpu.utils.torch_interop import _get_conv, _get_ln
+
+    out: dict[str, np.ndarray] = {}
+    _get_conv(flat, "Conv2d_0", out, "head")
+    groups = sorted({
+        int(m.group(1)) for key in flat
+        if (m := re.match(r"ResGroup_(\d+)\.", key))
+    })
+    multi = "Conv2d_2.Conv_0.kernel" in flat
+    for g in groups:
+        gp, gs = f"body.{g}", f"ResGroup_{g}"
+        blocks = sorted({
+            int(m.group(1)) for key in flat
+            if (m := re.match(rf"ResGroup_{g}\.GroupGLKA_(\d+)\.", key))
+        })
+        for b in blocks:
+            tp, sc = f"{gp}.body.{b}.LKA", f"{gs}.GroupGLKA_{b}"
+            _get_ln(flat, f"{sc}.LayerNorm_0", out, f"{tp}.norm")
+            _get_conv(flat, f"{sc}.Conv2d_0", out, f"{tp}.proj_first.0")
+            for n, (lka, x_dw) in enumerate((("LKA3", "X3"), ("LKA5", "X5"),
+                                             ("LKA7", "X7"))):
+                _get_raw_conv(flat, f"{sc}.Conv_{3 * n}", out, f"{tp}.{lka}.0")
+                _get_raw_conv(flat, f"{sc}.Conv_{3 * n + 1}", out, f"{tp}.{lka}.1")
+                _get_conv(flat, f"{sc}.Conv2d_{n + 1}", out, f"{tp}.{lka}.2")
+                _get_raw_conv(flat, f"{sc}.Conv_{3 * n + 2}", out, f"{tp}.{x_dw}")
+            _get_conv(flat, f"{sc}.Conv2d_4", out, f"{tp}.proj_last.0")
+            _get_scale(flat, f"{sc}.ChannelScale_0.scale", out, f"{tp}.scale")
+            tp, sc = f"{gp}.body.{b}.LFE", f"{gs}.SGAB_{b}"
+            _get_ln(flat, f"{sc}.LayerNorm_0", out, f"{tp}.norm")
+            _get_conv(flat, f"{sc}.Conv2d_0", out, f"{tp}.Conv1")
+            _get_raw_conv(flat, f"{sc}.Conv_0", out, f"{tp}.DWConv1")
+            _get_conv(flat, f"{sc}.Conv2d_1", out, f"{tp}.Conv2")
+            _get_scale(flat, f"{sc}.ChannelScale_0.scale", out, f"{tp}.scale")
+        tp, sc = f"{gp}.body_t", f"{gs}.LKAT_0"
+        _get_conv(flat, f"{sc}.Conv2d_0", out, f"{tp}.conv0.0")
+        _get_raw_conv(flat, f"{sc}.Conv_0", out, f"{tp}.att.0")
+        _get_raw_conv(flat, f"{sc}.Conv_1", out, f"{tp}.att.1")
+        _get_conv(flat, f"{sc}.Conv2d_1", out, f"{tp}.att.2")
+        _get_conv(flat, f"{sc}.Conv2d_2", out, f"{tp}.conv1")
+    if multi:
+        _get_conv(flat, "Conv2d_1", out, "body_t")
+        _get_conv(flat, "Conv2d_2", out, "tail.0")
+    else:
+        _get_conv(flat, "Conv2d_1", out, "tail.0")
+    return out
+
+
+def export_safmn(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_safmn."""
+    from neosr_tpu.utils.torch_interop import _get_conv, _get_ln
+
+    out: dict[str, np.ndarray] = {}
+    _get_conv(flat, "Conv2d_0", out, "to_feat")
+    blocks = sorted({
+        int(m.group(1)) for key in flat
+        if (m := re.match(r"AttBlock_(\d+)\.", key))
+    })
+    for i in blocks:
+        tp, sc = f"feats.{i}", f"AttBlock_{i}"
+        _get_ln(flat, f"{sc}.LayerNorm_0", out, f"{tp}.norm1")
+        _get_ln(flat, f"{sc}.LayerNorm_1", out, f"{tp}.norm2")
+        for lv in range(4):
+            _get_raw_conv(flat, f"{sc}.SAFM_0.Conv_{lv}", out,
+                          f"{tp}.safm.mfr.{lv}")
+        _get_conv(flat, f"{sc}.SAFM_0.Conv2d_0", out, f"{tp}.safm.aggr")
+        _get_conv(flat, f"{sc}.CCM_0.Conv2d_0", out, f"{tp}.ccm.ccm.0")
+        _get_conv(flat, f"{sc}.CCM_0.Conv2d_1", out, f"{tp}.ccm.ccm.2")
+    _get_conv(flat, "Conv2d_1", out, "to_img.0")
+    return out
+
+
+def export_light_safmnpp(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_light_safmnpp."""
+    from neosr_tpu.utils.torch_interop import _get_conv
+
+    out: dict[str, np.ndarray] = {}
+    _get_conv(flat, "Conv2d_0", out, "to_feat")
+    blocks = sorted({
+        int(m.group(1)) for key in flat
+        if (m := re.match(r"SimpleSAFM_(\d+)\.", key))
+    })
+    nc = 1
+    for i in blocks:
+        tp, sc = f"feats.{i}", f"SimpleSAFM_{i}"
+        _get_conv(flat, f"{sc}.Conv2d_0", out, f"{tp}.conv1.proj")
+        _get_raw_conv(flat, f"{sc}.Conv_0", out, f"{tp}.conv1.dwconv")
+        _get_conv(flat, f"{sc}.Conv2d_1", out, f"{tp}.conv1.out")
+        _get_conv(flat, f"Conv2d_{nc}", out, f"{tp}.conv2.conv.0")
+        _get_conv(flat, f"Conv2d_{nc + 1}", out, f"{tp}.conv2.conv.2")
+        nc += 2
+    _get_conv(flat, f"Conv2d_{nc}", out, "to_img.0")
+    return out
+
+
+def export_mosr(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_mosr (gblocks Sequential index reconstruction:
+    stem at 0, gated blocks 1..n, tail convs at n+1/n+3/n+5 — the reference
+    interleaves activations as separate Sequential entries)."""
+    from neosr_tpu.utils.torch_interop import _get_conv, _get_ln
+
+    out: dict[str, np.ndarray] = {}
+    n_gated = len({
+        int(m.group(1)) for key in flat
+        if (m := re.match(r"GatedCNNBlock_(\d+)\.", key))
+    })
+    _get_conv(flat, "Conv2d_0", out, "gblocks.0")
+    for n in range(n_gated):
+        tp, sc = f"gblocks.{n + 1}", f"GatedCNNBlock_{n}"
+        _get_ln(flat, f"{sc}.LayerNorm_0", out, f"{tp}.norm")
+        _get_conv(flat, f"{sc}.Conv2d_0", out, f"{tp}.fc1")
+        _get_raw_conv(flat, f"{sc}.Conv_0", out, f"{tp}.conv")
+        _get_conv(flat, f"{sc}.Conv2d_1", out, f"{tp}.fc2")
+    # tail: conv(2C) @ n+1, Mish, conv(C) @ n+3, Mish, conv1x1 @ n+5
+    base = n_gated + 1
+    for n, off in enumerate((0, 2, 4)):
+        _get_conv(flat, f"Conv2d_{n + 1}", out, f"gblocks.{base + off}")
+    _get_conv(flat, "ConvBlock_0.Conv2d_0", out, "shortcut.block.0")
+    _get_conv(flat, "ConvBlock_0.Conv2d_1", out, "shortcut.block.2")
+    _get_conv(flat, "ConvBlock_0.Conv2d_2", out, "shortcut.conv11")
+    if "DySample_0.Conv2d_0.Conv_0.kernel" in flat:
+        from neosr_tpu.utils.torch_interop import (
+            _get_dysample,
+            _infer_dysample_scale,
+        )
+
+        _get_dysample(flat, "DySample_0", out, "upsampler",
+                      scale=_infer_dysample_scale(flat, "DySample_0"))
+    elif "GPS_0.Conv2d_0.Conv_0.kernel" in flat:
+        _get_conv(flat, "GPS_0.Conv2d_0", out, "upsampler.in_to_k")
+    else:
+        _get_conv(flat, "Conv2d_4", out, "upsampler.0")
+    return out
+
+
+def export_cugan(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_cugan."""
+    out: dict[str, np.ndarray] = {}
+
+    def unet_conv(sc: str, tp: str) -> None:
+        _get_raw_conv(flat, f"{sc}.Conv_0", out, f"{tp}.conv.0")
+        _get_raw_conv(flat, f"{sc}.Conv_1", out, f"{tp}.conv.2")
+        if f"{sc}.SEBlock_0.Conv_0.kernel" in flat:
+            _get_raw_conv(flat, f"{sc}.SEBlock_0.Conv_0", out, f"{tp}.seblock.conv1")
+            _get_raw_conv(flat, f"{sc}.SEBlock_0.Conv_1", out, f"{tp}.seblock.conv2")
+
+    u1 = "UNet1_0"
+    unet_conv(f"{u1}.UNetConv_0", "unet1.conv1")
+    _get_raw_conv(flat, f"{u1}.Conv_0", out, "unet1.conv1_down")
+    unet_conv(f"{u1}.UNetConv_1", "unet1.conv2")
+    _get_deconv(flat, f"{u1}.ConvTranspose_0", out, "unet1.conv2_up")
+    _get_raw_conv(flat, f"{u1}.Conv_1", out, "unet1.conv3")
+    if f"{u1}.ConvTranspose_1.kernel" in flat:
+        _get_deconv(flat, f"{u1}.ConvTranspose_1", out, "unet1.conv_bottom")
+    else:
+        _get_raw_conv(flat, f"{u1}.Conv_2", out, "unet1.conv_bottom")
+
+    u2 = "UNet2_0"
+    unet_conv(f"{u2}.UNetConv_0", "unet2.conv1")
+    _get_raw_conv(flat, f"{u2}.Conv_0", out, "unet2.conv1_down")
+    unet_conv(f"{u2}.UNetConv_1", "unet2.conv2")
+    _get_raw_conv(flat, f"{u2}.Conv_1", out, "unet2.conv2_down")
+    unet_conv(f"{u2}.UNetConv_2", "unet2.conv3")
+    _get_deconv(flat, f"{u2}.ConvTranspose_0", out, "unet2.conv3_up")
+    unet_conv(f"{u2}.UNetConv_3", "unet2.conv4")
+    _get_deconv(flat, f"{u2}.ConvTranspose_1", out, "unet2.conv4_up")
+    _get_raw_conv(flat, f"{u2}.Conv_2", out, "unet2.conv5")
+    _get_raw_conv(flat, f"{u2}.Conv_3", out, "unet2.conv_bottom")
+    if "Conv_0.kernel" in flat:
+        _get_raw_conv(flat, "Conv_0", out, "conv_final")
+    return out
+
+
+EXT_EXPORTERS.update({
+    "man": export_man,
+    "safmn": export_safmn,
+    "light_safmnpp": export_light_safmnpp,
+    "mosr": export_mosr,
+    "cugan": export_cugan,
+})

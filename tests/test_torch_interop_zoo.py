@@ -365,3 +365,40 @@ def test_srformer_pth_export_roundtrip(x):
          "window_size": 8, "img_size": 16, "mlp_ratio": 1,
          "upsampler": "pixelshuffle"},
         x, allowed_missing=(*_SWIN_DERIVED, "aligned_relative_position_index"))
+
+
+def test_man_pth_export_roundtrip(x):
+    _roundtrip_strict(
+        "man_arch", "man", "man",
+        {"n_resblocks": 1, "n_resgroups": 2, "n_feats": 24},
+        {"n_resblocks": 1, "n_resgroups": 2, "n_feats": 24},
+        x)
+
+
+def test_safmn_pth_export_roundtrip(x):
+    _roundtrip_strict(
+        "safmn_arch", "safmn", "safmn",
+        {"dim": 16, "n_blocks": 2}, {"dim": 16, "n_blocks": 2}, x)
+
+
+def test_light_safmnpp_pth_export_roundtrip(x):
+    _roundtrip_strict(
+        "safmn_arch", "light_safmnpp", "light_safmnpp",
+        {"dim": 16, "n_blocks": 2}, {"dim": 16, "n_blocks": 2}, x,
+        atol=1e-4)
+
+
+@pytest.mark.parametrize("ups", ["ps", "dys"])
+def test_mosr_pth_export_roundtrip(x, ups, cpu_pinmem):
+    _roundtrip_strict(
+        "mosr_arch", "mosr", "mosr",
+        {"n_block": 2, "dim": 16, "upsampler": ups},
+        {"n_block": 2, "dim": 16, "upsampler": ups}, x, atol=1e-4)
+
+
+def test_cugan_pth_export_roundtrip(cpu_pinmem):
+    x = np.random.default_rng(2).random((1, 24, 24, 3)).astype(np.float32)
+    _roundtrip_strict(
+        "cugan_arch", "cugan", "cugan",
+        {"scale": 4, "pro": True}, {"scale": 4, "pro": True}, x,
+        atol=2e-4, allowed_missing=("pro",))
