@@ -1343,6 +1343,222 @@ def _drct_mirror(opt: dict[str, Any], scale: int):
     return DRCTMirror()
 
 
+def _cugan_mirror(opt: dict[str, Any], scale: int):
+    """Torch mirror of our flax Real-CUGAN (archs/cugan.py): cascaded
+    U-Nets, VALID convs with explicit reflect pad / negative crops,
+    SE gates, ConvTranspose upsampling, pro range mapping."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    pro = opt.get("pro", True)
+    out_ch = opt.get("out_channels", 3)
+    in_ch = opt.get("in_channels", 3)
+    if scale not in (2, 3, 4):
+        msg = "cugan ONNX mirror supports scale 2/3/4"
+        raise ValueError(msg)
+
+    def lrelu(t):
+        return F.leaky_relu(t, 0.1)
+
+    def crop(t, n):
+        return t[:, :, n:-n, n:-n]
+
+    class SEB(nn.Module):
+        def __init__(self, c: int) -> None:
+            super().__init__()
+            self.conv1 = nn.Conv2d(c, c // 8, 1)
+            self.conv2 = nn.Conv2d(c // 8, c, 1)
+
+        def forward(self, x):
+            g = x.mean(dim=(2, 3), keepdim=True)
+            g = torch.sigmoid(self.conv2(F.relu(self.conv1(g))))
+            return x * g
+
+    class UC(nn.Module):
+        def __init__(self, c_in: int, mid: int, c_out: int, se: bool) -> None:
+            super().__init__()
+            self.conv = nn.Sequential(
+                nn.Conv2d(c_in, mid, 3), nn.Identity(),
+                nn.Conv2d(mid, c_out, 3))
+            if se:
+                self.seblock = SEB(c_out)
+            self.se = se
+
+        def forward(self, x):
+            x = lrelu(self.conv[2](lrelu(self.conv[0](x))))
+            return self.seblock(x) if self.se else x
+
+    u1_out = 64 if scale == 4 else out_ch
+
+    class U1(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.conv1 = UC(in_ch, 32, 64, se=False)
+            self.conv1_down = nn.Conv2d(64, 64, 2, stride=2)
+            self.conv2 = UC(64, 128, 64, se=True)
+            self.conv2_up = nn.ConvTranspose2d(64, 64, 2, stride=2)
+            self.conv3 = nn.Conv2d(64, 64, 3)
+            if scale == 3:
+                self.conv_bottom = nn.ConvTranspose2d(64, u1_out, 5, stride=3)
+            else:
+                self.conv_bottom = nn.ConvTranspose2d(64, u1_out, 4, stride=2)
+
+        def forward(self, x):
+            x1 = self.conv1(x)
+            x2 = lrelu(self.conv1_down(x1))
+            x2 = lrelu(self.conv2_up(self.conv2(x2)))
+            x3 = lrelu(self.conv3(crop(x1, 4) + x2))
+            y = self.conv_bottom(x3)
+            return crop(y, 2) if scale == 3 else crop(y, 3)
+
+    class U2(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.conv1 = UC(u1_out, 32, 64, se=False)
+            self.conv1_down = nn.Conv2d(64, 64, 2, stride=2)
+            self.conv2 = UC(64, 64, 128, se=True)
+            self.conv2_down = nn.Conv2d(128, 128, 2, stride=2)
+            self.conv3 = UC(128, 256, 128, se=True)
+            self.conv3_up = nn.ConvTranspose2d(128, 128, 2, stride=2)
+            self.conv4 = UC(128, 64, 64, se=True)
+            self.conv4_up = nn.ConvTranspose2d(64, 64, 2, stride=2)
+            self.conv5 = nn.Conv2d(64, 64, 3)
+            self.conv_bottom = nn.Conv2d(64, u1_out, 3)
+
+        def forward(self, x):
+            x1 = self.conv1(x)
+            x2 = lrelu(self.conv1_down(x1))
+            x2 = self.conv2(x2)
+            x3 = lrelu(self.conv2_down(x2))
+            x3 = lrelu(self.conv3_up(self.conv3(x3)))
+            x4 = self.conv4(crop(x2, 4) + x3)
+            x4 = lrelu(self.conv4_up(x4))
+            x5 = lrelu(self.conv5(crop(x1, 16) + x4))
+            return self.conv_bottom(x5)
+
+    class CuganMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.unet1 = U1()
+            self.unet2 = U2()
+            if scale == 4:
+                self.conv_final = nn.Conv2d(u1_out, 12, 3)
+
+        def forward(self, x):
+            x = torch.clamp(x, 0, 1)
+            if pro:
+                x = x * 0.7 + 0.15
+            _, _, h0, w0 = x.shape
+            x00 = x
+            mod = 4 if scale == 3 else 2
+            ph = ((h0 - 1) // mod + 1) * mod
+            pw = ((w0 - 1) // mod + 1) * mod
+            pad = {2: 18, 3: 14, 4: 19}[scale]
+            x = F.pad(x, (pad, pad + pw - w0, pad, pad + ph - h0),
+                      mode="reflect")
+            u1 = self.unet1(x)
+            u2 = self.unet2(u1)
+            y = u2 + crop(u1, 20)
+            if scale == 4:
+                y = crop(self.conv_final(y), 1)
+                y = F.pixel_shuffle(y, 2)
+            y = y[:, :, : h0 * scale, : w0 * scale]
+            if scale == 4:
+                y = y + F.interpolate(x00, scale_factor=4, mode="nearest")
+            if pro:
+                y = (y - 0.15) / 0.7
+            return y
+
+    return CuganMirror()
+
+
+def _safmn_mirror(opt: dict[str, Any], scale: int):
+    """Torch mirror of our flax SAFMN (archs/safmn.py): SAFM multi-scale
+    depthwise pyramid (adaptive max-pool levels) + CCM, pixel-shuffle."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    dim = opt.get("dim", 36)
+    n_blocks = opt.get("n_blocks", 8)
+    ffn_scale = opt.get("ffn_scale", 2.0)
+    if opt.get("bcie", False):
+        msg = "safmn ONNX mirror supports bcie=false only"
+        raise ValueError(msg)
+    n_levels = 4
+    cd = dim // n_levels
+
+    class SAFMM(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.mfr = nn.ModuleList(
+                nn.Conv2d(cd, cd, 3, padding=1, groups=cd)
+                for _ in range(n_levels))
+            self.aggr = nn.Conv2d(dim, dim, 1)
+
+        def forward(self, x):
+            # int() bakes the sizes at trace time: adaptive pool / resize
+            # need constant targets for ONNX (static-size export, like the
+            # transformer mirrors)
+            h, w = int(x.shape[2]), int(x.shape[3])
+            chunks = torch.chunk(x, n_levels, dim=1)
+            outs = []
+            for i, xc in enumerate(chunks):
+                if i > 0:
+                    # input sizes divisible by 2^(n_levels-1): adaptive max
+                    # pool == plain max pool (ONNX has no adaptive pool)
+                    s = F.max_pool2d(xc, kernel_size=2**i, stride=2**i)
+                    s = self.mfr[i](s)
+                    s = F.interpolate(s, scale_factor=2**i, mode="nearest")
+                else:
+                    s = self.mfr[i](xc)
+                outs.append(s)
+            return F.gelu(self.aggr(torch.cat(outs, dim=1))) * x
+
+    class CCMM(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            hidden = int(dim * ffn_scale)
+            self.ccm = nn.Sequential(
+                nn.Conv2d(dim, hidden, 3, padding=1), nn.Identity(),
+                nn.Conv2d(hidden, dim, 1))
+
+        def forward(self, x):
+            return self.ccm[2](F.gelu(self.ccm[0](x)))
+
+    class AttBlockM(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+            self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+            self.safm = SAFMM()
+            self.ccm = CCMM()
+
+        def forward(self, x):
+            def ln(norm, t):  # channel-last LayerNorm on NCHW tensors
+                return norm(t.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+
+            x = self.safm(ln(self.norm1, x)) + x
+            return self.ccm(ln(self.norm2, x)) + x
+
+    class SafmnMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.to_feat = nn.Conv2d(3, dim, 3, padding=1)
+            self.feats = nn.Sequential(*[AttBlockM() for _ in range(n_blocks)])
+            self.to_img = nn.Sequential(
+                nn.Conv2d(dim, 3 * scale**2, 3, padding=1),
+                nn.PixelShuffle(scale))
+
+        def forward(self, x):
+            feat = self.to_feat(x)
+            h = self.feats(feat) + feat
+            return self.to_img(h)
+
+    return SafmnMirror()
+
+
 _MIRRORS = {
     "compact": _compact_mirror,
     "span": _span_mirror,
@@ -1354,6 +1570,8 @@ _MIRRORS = {
     "hat": _hat_mirror,
     "atd": _atd_mirror,
     "drct": _drct_mirror,
+    "cugan": _cugan_mirror,
+    "safmn": _safmn_mirror,
 }
 
 

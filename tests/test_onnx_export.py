@@ -40,6 +40,9 @@ CASES = [
     ("drct", {"embed_dim": 24, "depths": [2], "num_heads": [3],
               "window_size": 8, "mlp_ratio": 1.0, "gc": 8,
               "drop_path_rate": 0.0}, 4),
+    ("cugan", {"pro": True}, 4),
+    ("cugan", {"pro": False}, 2),
+    ("safmn", {"dim": 16, "n_blocks": 2}, 4),
 ]
 
 
