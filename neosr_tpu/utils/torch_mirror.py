@@ -1559,6 +1559,124 @@ def _safmn_mirror(opt: dict[str, Any], scale: int):
     return SafmnMirror()
 
 
+def _man_mirror(opt: dict[str, Any], scale: int):
+    """Torch mirror of our flax MAN (archs/man.py): grouped large-kernel
+    attention (3-scale dilated depthwise pyramid), SGAB gates, LKAT tail."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    feats = opt.get("n_feats", 180)
+    n_resblocks = opt.get("n_resblocks", 36)
+    n_resgroups = opt.get("n_resgroups", 1)
+    n_colors = opt.get("n_colors", 3)
+
+    def dw(c, k, d=1):
+        return nn.Conv2d(c, c, k, padding=(k // 2) * d, dilation=d, groups=c)
+
+    def ln(norm, t):
+        return norm(t.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+
+    class LKAM(nn.Module):  # GroupGLKA
+        def __init__(self) -> None:
+            super().__init__()
+            c = feats // 3
+            self.norm = nn.LayerNorm(feats, eps=1e-6)
+            self.proj_first = nn.Sequential(nn.Conv2d(feats, feats * 2, 1))
+            self.LKA3 = nn.Sequential(dw(c, 3), dw(c, 5, 2), nn.Conv2d(c, c, 1))
+            self.X3 = dw(c, 3)
+            self.LKA5 = nn.Sequential(dw(c, 5), dw(c, 7, 3), nn.Conv2d(c, c, 1))
+            self.X5 = dw(c, 5)
+            self.LKA7 = nn.Sequential(dw(c, 7), dw(c, 9, 4), nn.Conv2d(c, c, 1))
+            self.X7 = dw(c, 7)
+            self.proj_last = nn.Sequential(nn.Conv2d(feats, feats, 1))
+            self.scale = nn.Parameter(torch.zeros(1, feats, 1, 1))
+
+        def forward(self, x):
+            shortcut = x
+            x = ln(self.norm, x)
+            x = self.proj_first[0](x)
+            a, x = torch.chunk(x, 2, dim=1)
+            a1, a2, a3 = torch.chunk(a, 3, dim=1)
+            att = torch.cat([
+                self.LKA3(a1) * self.X3(a1),
+                self.LKA5(a2) * self.X5(a2),
+                self.LKA7(a3) * self.X7(a3),
+            ], dim=1)
+            return self.proj_last[0](x * att) * self.scale + shortcut
+
+    class LFEM(nn.Module):  # SGAB
+        def __init__(self) -> None:
+            super().__init__()
+            self.norm = nn.LayerNorm(feats, eps=1e-6)
+            self.Conv1 = nn.Conv2d(feats, feats * 2, 1)
+            self.DWConv1 = dw(feats, 7)
+            self.Conv2 = nn.Conv2d(feats, feats, 1)
+            self.scale = nn.Parameter(torch.zeros(1, feats, 1, 1))
+
+        def forward(self, x):
+            shortcut = x
+            x = self.Conv1(ln(self.norm, x))
+            a, x = torch.chunk(x, 2, dim=1)
+            x = self.Conv2(x * self.DWConv1(a))
+            return x * self.scale + shortcut
+
+    class LKATM(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.conv0 = nn.Sequential(nn.Conv2d(feats, feats, 1))
+            self.att = nn.Sequential(dw(feats, 7), dw(feats, 9, 3),
+                                     nn.Conv2d(feats, feats, 1))
+            self.conv1 = nn.Conv2d(feats, feats, 1)
+
+        def forward(self, x):
+            x = F.gelu(self.conv0[0](x))
+            return self.conv1(x * self.att(x))
+
+    class BlockPair(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.LKA = LKAM()
+            self.LFE = LFEM()
+
+        def forward(self, x):
+            return self.LFE(self.LKA(x))
+
+    class GroupM(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.body = nn.ModuleList(BlockPair() for _ in range(n_resblocks))
+            self.body_t = LKATM()
+
+        def forward(self, x):
+            res = x
+            for blk in self.body:
+                res = blk(res)
+            return self.body_t(res) + x
+
+    class ManMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.head = nn.Conv2d(n_colors, feats, 3, padding=1)
+            self.body = nn.ModuleList(GroupM() for _ in range(n_resgroups))
+            if n_resgroups > 1:
+                self.body_t = nn.Conv2d(feats, feats, 3, padding=1)
+            self.tail = nn.Sequential(
+                nn.Conv2d(feats, n_colors * scale**2, 3, padding=1),
+                nn.PixelShuffle(scale))
+
+        def forward(self, x):
+            x = self.head(x)
+            res = x
+            for g in self.body:
+                res = g(res)
+            if n_resgroups > 1:
+                res = self.body_t(res) + x
+            return self.tail(res)
+
+    return ManMirror()
+
+
 _MIRRORS = {
     "compact": _compact_mirror,
     "span": _span_mirror,
@@ -1572,6 +1690,7 @@ _MIRRORS = {
     "drct": _drct_mirror,
     "cugan": _cugan_mirror,
     "safmn": _safmn_mirror,
+    "man": _man_mirror,
 }
 
 

@@ -43,6 +43,7 @@ CASES = [
     ("cugan", {"pro": True}, 4),
     ("cugan", {"pro": False}, 2),
     ("safmn", {"dim": 16, "n_blocks": 2}, 4),
+    ("man", {"n_resblocks": 1, "n_resgroups": 2, "n_feats": 24}, 4),
 ]
 
 
