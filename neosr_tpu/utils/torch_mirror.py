@@ -1677,6 +1677,153 @@ def _man_mirror(opt: dict[str, Any], scale: int):
     return ManMirror()
 
 
+def _mosr_mirror(opt: dict[str, Any], scale: int):
+    """Torch mirror of our flax MOSR (archs/mosr.py): gated CNN blocks with
+    the `shortcut - 0.5` residual, ConvBlock skip, ps/gps/dys heads."""
+    import torch
+    import torch.nn as nn
+
+    dim = opt.get("dim", 64)
+    n_block = opt.get("n_block", 24)
+    er = opt.get("expansion_ratio", 1.5)
+    cr = opt.get("conv_ratio", 1.0)
+    ksz = opt.get("kernel_size", 7)
+    upsampler = opt.get("upsampler", "dys")
+    in_ch = opt.get("in_ch", 3)
+    out_ch = in_ch if upsampler == "ps" else opt.get("out_ch", 3)
+
+    class GatedM(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            hidden = int(er * dim)
+            cc = int(cr * dim)
+            self.hidden, self.cc = hidden, cc
+            self.norm = nn.LayerNorm(dim, eps=1e-6)
+            self.fc1 = nn.Conv2d(dim, hidden * 2, 3, padding=1)
+            self.conv = nn.Conv2d(cc, cc, ksz, padding=ksz // 2, groups=cc)
+            self.fc2 = nn.Conv2d(hidden, dim, 3, padding=1)
+
+        def forward(self, x):
+            shortcut = x
+            x = self.norm(x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+            x = self.fc1(x)
+            g = x[:, : self.hidden]
+            i = x[:, self.hidden: 2 * self.hidden - self.cc]
+            c = self.conv(x[:, 2 * self.hidden - self.cc:])
+            x = _mish(self.fc2(_mish(g) * torch.cat([i, c], dim=1)))
+            return x + (shortcut - 0.5)
+
+    class ConvBlockM(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.block = nn.Sequential(
+                nn.Conv2d(in_ch, dim, 3, padding=1), nn.Identity(),
+                nn.Conv2d(dim, dim, 3, padding=1))
+            self.conv11 = nn.Conv2d(in_ch, dim, 1)
+
+        def forward(self, x):
+            y = _mish(self.block[2](_mish(self.block[0](x))))
+            return y + self.conv11(x)
+
+    class MosrMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            mods: list[nn.Module] = [nn.Conv2d(in_ch, dim, 3, padding=1)]
+            mods += [GatedM() for _ in range(n_block)]
+            mods += [nn.Conv2d(dim, dim * 2, 3, padding=1), nn.Identity(),
+                     nn.Conv2d(dim * 2, dim, 3, padding=1), nn.Identity(),
+                     nn.Conv2d(dim, dim, 1)]
+            self.gblocks = nn.Sequential(*mods)
+            self.shortcut = ConvBlockM()
+            if upsampler == "ps":
+                self.upsampler = nn.Sequential(
+                    nn.Conv2d(dim, out_ch * scale**2, 3, padding=1),
+                    nn.PixelShuffle(scale))
+            elif upsampler == "gps":
+                self.upsampler = nn.ModuleDict({"in_to_k": nn.Conv2d(
+                    dim, scale**2 * out_ch * 8, 3, padding=1)})
+            elif upsampler == "dys":
+                self.upsampler = _dysample_mirror(dim, out_ch, scale)
+            else:
+                msg = f"mosr ONNX mirror: unsupported upsampler {upsampler}"
+                raise ValueError(msg)
+            self.ups_kind = upsampler
+
+        def forward(self, x):
+            base = n_block + 1
+            h = x
+            for idx in range(base):
+                h = self.gblocks[idx](h)
+            h = _mish(self.gblocks[base](h))
+            h = _mish(self.gblocks[base + 2](h))
+            h = self.gblocks[base + 4](h)
+            h = h + (self.shortcut(x) - 0.5)
+            if self.ups_kind == "gps":
+                k = self.upsampler["in_to_k"](h)
+                b, c, hh, ww = k.shape
+                k = k.view(b, 8, c // 8, hh, ww).mean(dim=1)
+                import torch.nn.functional as F
+
+                return F.pixel_shuffle(k, scale)
+            return self.upsampler(h)
+
+    return MosrMirror()
+
+
+def _light_safmnpp_mirror(opt: dict[str, Any], scale: int):
+    """Torch mirror of our flax light SAFMN++ (archs/safmn.py): SimpleSAFM
+    (pooled gate at 1/8 resolution, bilinear re-expand) + CCM, bias-free."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    dim = opt.get("dim", 32)
+    n_blocks = opt.get("n_blocks", 2)
+    ffn_scale = opt.get("ffn_scale", 1.5)
+
+    class SimpleM(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.conv1 = nn.ModuleDict({
+                "proj": nn.Conv2d(dim, dim, 3, padding=1, bias=False),
+                "dwconv": nn.Conv2d(dim // 2, dim // 2, 3, padding=1,
+                                    groups=dim // 2, bias=False),
+                "out": nn.Conv2d(dim, dim, 1, bias=False)})
+            self.conv2 = nn.ModuleDict({"conv": nn.Sequential(
+                nn.Conv2d(dim, int(dim * ffn_scale), 3, padding=1, bias=False),
+                nn.Identity(),
+                nn.Conv2d(int(dim * ffn_scale), dim, 1, bias=False))})
+
+        def forward(self, x):
+            h, w = int(x.shape[2]), int(x.shape[3])
+            proj = self.conv1["proj"](x)
+            x0, x1 = torch.chunk(proj, 2, dim=1)
+            # divisible sizes: adaptive max pool -> plain k8 max pool
+            x2 = F.max_pool2d(x0, kernel_size=8, stride=8)
+            x2 = self.conv1["dwconv"](x2)
+            x2 = F.interpolate(x2, size=(h, w), mode="bilinear",
+                               align_corners=False)
+            x2 = F.gelu(x2) * x0
+            out = self.conv1["out"](F.gelu(torch.cat([x1, x2], dim=1)))
+            h2 = F.gelu(self.conv2["conv"][0](out))
+            return self.conv2["conv"][2](h2)
+
+    class LightMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.to_feat = nn.Conv2d(3, dim, 3, padding=1, bias=False)
+            self.feats = nn.Sequential(*[SimpleM() for _ in range(n_blocks)])
+            self.to_img = nn.Sequential(
+                nn.Conv2d(dim, 3 * scale**2, 3, padding=1, bias=False),
+                nn.PixelShuffle(scale))
+
+        def forward(self, x):
+            feat = self.to_feat(x)
+            return self.to_img(self.feats(feat) + feat)
+
+    return LightMirror()
+
+
 _MIRRORS = {
     "compact": _compact_mirror,
     "span": _span_mirror,
@@ -1691,6 +1838,8 @@ _MIRRORS = {
     "cugan": _cugan_mirror,
     "safmn": _safmn_mirror,
     "man": _man_mirror,
+    "mosr": _mosr_mirror,
+    "light_safmnpp": _light_safmnpp_mirror,
 }
 
 

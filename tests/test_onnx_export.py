@@ -44,6 +44,10 @@ CASES = [
     ("cugan", {"pro": False}, 2),
     ("safmn", {"dim": 16, "n_blocks": 2}, 4),
     ("man", {"n_resblocks": 1, "n_resgroups": 2, "n_feats": 24}, 4),
+    ("mosr", {"n_block": 2, "dim": 16, "upsampler": "ps"}, 4),
+    ("mosr", {"n_block": 2, "dim": 16, "upsampler": "dys"}, 4),
+    ("mosr", {"n_block": 2, "dim": 16, "upsampler": "gps"}, 2),
+    ("light_safmnpp", {"dim": 16, "n_blocks": 2}, 4),
 ]
 
 
