@@ -1824,6 +1824,173 @@ def _light_safmnpp_mirror(opt: dict[str, Any], scale: int):
     return LightMirror()
 
 
+def _srformer_mirror(opt: dict[str, Any], scale: int):
+    """Torch mirror of our flax SRFormer (archs/srformer.py): permuted
+    self-attention (2x-compressed kv), aligned rel-pos bias, ConvFFN."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from neosr_tpu.archs.srformer import psa_rel_index, psa_shift_mask
+
+    dim = opt.get("embed_dim", 60)
+    depths = list(opt.get("depths", (6, 6, 6, 6)))
+    heads = list(opt.get("num_heads", (6,) * len(depths)))
+    win = opt.get("window_size", 16)
+    mlp_ratio = opt.get("mlp_ratio", 2.0)
+    qkv_bias = opt.get("qkv_bias", True)
+    patch_norm = opt.get("patch_norm", True)
+    img_range = opt.get("img_range", 1.0)
+    upsampler = opt.get("upsampler", "pixelshuffledirect")
+    in_chans = opt.get("in_chans", 3)
+    num_feat = 64
+    pw = win // 2
+
+    class PSAM(nn.Module):
+        def __init__(self, n_heads: int) -> None:
+            super().__init__()
+            self.n_heads = n_heads
+            self.kv = nn.Linear(dim, dim // 2, bias=qkv_bias)
+            self.q = nn.Linear(dim, dim, bias=qkv_bias)
+            self.proj = nn.Linear(dim, dim)
+            self.relative_position_bias_table = nn.Parameter(
+                torch.zeros((2 * pw - 1) ** 2, n_heads))
+            self.register_buffer(
+                "rpi", torch.from_numpy(psa_rel_index(pw).copy()).long(),
+                persistent=False)
+
+        def forward(self, xw, mask):
+            b_, n, c = xw.shape
+            d = c // self.n_heads
+            kv = self.kv(xw).view(b_, pw, 2, pw, 2, 2, c // 4)
+            kv = kv.permute(0, 1, 3, 5, 2, 4, 6)
+            kv = kv.reshape(b_, n // 4, 2, self.n_heads, d).permute(2, 0, 3, 1, 4)
+            k, v = kv[0], kv[1]
+            q = self.q(xw).view(b_, n, self.n_heads, d).permute(0, 2, 1, 3)
+            attn = (q * d**-0.5) @ k.transpose(-2, -1)
+            bias = self.relative_position_bias_table[self.rpi.view(-1)]
+            attn = attn + bias.view(n, n // 4, self.n_heads).permute(2, 0, 1)[None]
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.view(b_ // nw, nw, self.n_heads, n, n // 4)
+                attn = attn + mask[None, :, None]
+                attn = attn.view(b_, self.n_heads, n, n // 4)
+            attn = torch.softmax(attn, dim=-1)
+            return self.proj((attn @ v).transpose(1, 2).reshape(b_, n, c))
+
+    class ConvFFNM(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            hidden = int(dim * mlp_ratio)
+            self.fc1 = nn.Linear(dim, hidden)
+            self.fc2 = nn.Linear(hidden, dim)
+            self.dwconv = nn.ModuleDict({"depthwise_conv": nn.Sequential(
+                nn.Conv2d(hidden, hidden, 5, padding=2, groups=hidden))})
+
+        def forward(self, x):  # BHWC
+            h = F.gelu(self.fc1(x))
+            dw = self.dwconv["depthwise_conv"][0](
+                h.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            return self.fc2(h + F.gelu(dw))
+
+    class PSABlockM(nn.Module):
+        def __init__(self, n_heads: int, shift: int) -> None:
+            super().__init__()
+            self.shift = shift
+            self.norm1 = nn.LayerNorm(dim, eps=1e-5)
+            self.attn = PSAM(n_heads)
+            self.norm2 = nn.LayerNorm(dim, eps=1e-5)
+            self.mlp = ConvFFNM()
+
+        def forward(self, x):
+            b, h, w, c = x.shape
+            shift = self.shift if min(h, w) > win else 0
+            shortcut = x
+            xl = self.norm1(x)
+            if shift > 0:
+                xl = torch.roll(xl, (-shift, -shift), dims=(1, 2))
+                mask = torch.from_numpy(
+                    psa_shift_mask(h, w, win, shift).copy()).to(x.dtype)
+            else:
+                mask = None
+            xw = xl.view(b, h // win, win, w // win, win, c)
+            xw = xw.permute(0, 1, 3, 2, 4, 5).reshape(-1, win * win, c)
+            xw = self.attn(xw, mask)
+            xl = xw.view(b, h // win, w // win, win, win, c)
+            xl = xl.permute(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+            if shift > 0:
+                xl = torch.roll(xl, (shift, shift), dims=(1, 2))
+            x = shortcut + xl
+            return x + self.mlp(self.norm2(x))
+
+    class GroupM(nn.Module):
+        def __init__(self, depth: int, n_heads: int) -> None:
+            super().__init__()
+            self.residual_group = nn.ModuleDict({"blocks": nn.ModuleList(
+                PSABlockM(n_heads, 0 if j % 2 == 0 else win // 2)
+                for j in range(depth))})
+            self.conv = nn.Conv2d(dim, dim, 3, padding=1)
+
+        def forward(self, x):
+            res = x
+            for blk in self.residual_group["blocks"]:
+                x = blk(x)
+            x = self.conv(x.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            return x + res
+
+    class SRFormerMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.conv_first = nn.Conv2d(in_chans, dim, 3, padding=1)
+            if patch_norm:
+                self.patch_embed = nn.ModuleDict(
+                    {"norm": nn.LayerNorm(dim, eps=1e-5)})
+            self.layers = nn.ModuleList(
+                GroupM(d, h) for d, h in zip(depths, heads))
+            self.norm = nn.LayerNorm(dim, eps=1e-5)
+            self.conv_after_body = nn.Conv2d(dim, dim, 3, padding=1)
+            if upsampler == "pixelshuffle":
+                self.conv_before_upsample = nn.Sequential(
+                    nn.Conv2d(dim, num_feat, 3, padding=1))
+                ups: list[nn.Module] = []
+                s = scale
+                while s % 2 == 0 and s > 1:
+                    ups += [nn.Conv2d(num_feat, 4 * num_feat, 3, padding=1),
+                            nn.PixelShuffle(2)]
+                    s //= 2
+                if s == 3:
+                    ups += [nn.Conv2d(num_feat, 9 * num_feat, 3, padding=1),
+                            nn.PixelShuffle(3)]
+                self.upsample = nn.Sequential(*ups)
+                self.conv_last = nn.Conv2d(num_feat, in_chans, 3, padding=1)
+            else:
+                self.upsample = nn.Sequential(
+                    nn.Conv2d(dim, in_chans * scale**2, 3, padding=1),
+                    nn.PixelShuffle(scale))
+
+        def forward(self, x):
+            mean = 0.5 if in_chans == 3 else 0.0
+            x = (x - mean) * img_range
+            feat = self.conv_first(x).permute(0, 2, 3, 1)
+            h = feat
+            if patch_norm:
+                h = self.patch_embed["norm"](h)
+            for layer in self.layers:
+                h = layer(h)
+            h = self.norm(h)
+            h = self.conv_after_body(
+                h.permute(0, 3, 1, 2)).permute(0, 2, 3, 1) + feat
+            h = h.permute(0, 3, 1, 2)
+            if upsampler == "pixelshuffle":
+                h = F.leaky_relu(self.conv_before_upsample[0](h), 0.01)
+                out = self.conv_last(self.upsample(h))
+            else:
+                out = self.upsample(h)
+            return out / img_range + mean
+
+    return SRFormerMirror()
+
+
 _MIRRORS = {
     "compact": _compact_mirror,
     "span": _span_mirror,
@@ -1840,6 +2007,7 @@ _MIRRORS = {
     "man": _man_mirror,
     "mosr": _mosr_mirror,
     "light_safmnpp": _light_safmnpp_mirror,
+    "srformer": _srformer_mirror,
 }
 
 

@@ -48,6 +48,9 @@ CASES = [
     ("mosr", {"n_block": 2, "dim": 16, "upsampler": "dys"}, 4),
     ("mosr", {"n_block": 2, "dim": 16, "upsampler": "gps"}, 2),
     ("light_safmnpp", {"dim": 16, "n_blocks": 2}, 4),
+    ("srformer", {"embed_dim": 16, "depths": [2], "num_heads": [2],
+                  "window_size": 8, "mlp_ratio": 1.0, "drop_path_rate": 0.0,
+                  "upsampler": "pixelshuffle"}, 4),
 ]
 
 
