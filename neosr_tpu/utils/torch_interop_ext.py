@@ -1405,3 +1405,141 @@ EXT_EXPORTERS.update({
     "mosr": export_mosr,
     "cugan": export_cugan,
 })
+
+
+def export_omnisr(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_omnisr (reference omnisr_arch.py layout)."""
+    from neosr_tpu.utils.torch_interop import _get_conv, _get_dense, _get_ln
+
+    out: dict[str, np.ndarray] = {}
+    _get_conv(flat, "Conv2d_0", out, "input")
+    _get_conv(flat, "Conv2d_1", out, "output")
+    _get_conv(flat, "Conv2d_2", out, "up.0")
+    groups = sorted({
+        int(m.group(1)) for key in flat
+        if (m := re.match(r"OSAG_(\d+)\.", key))
+    })
+    for g in groups:
+        gp, gs = f"residual_layer.{g}", f"OSAG_{g}"
+        blocks = sorted({
+            int(m.group(1)) for key in flat
+            if (m := re.match(rf"OSAG_{g}\.OSABlock_(\d+)\.", key))
+        })
+        for i in blocks:
+            tp = f"{gp}.residual_layer.{i}.layer"
+            sc = f"{gs}.OSABlock_{i}"
+            mb = f"{sc}.MBConv_0"
+            _get_conv(flat, f"{mb}.Conv2d_0", out, f"{tp}.0.fn.0")
+            _get_raw_conv(flat, f"{mb}.Conv_0", out, f"{tp}.0.fn.2")
+            se = f"{mb}.SqueezeExcitation_0"
+            _get_dense(flat, f"{se}.Dense_0", out, f"{tp}.0.fn.4.gate.1")
+            _get_dense(flat, f"{se}.Dense_1", out, f"{tp}.0.fn.4.gate.3")
+            _get_conv(flat, f"{mb}.Conv2d_1", out, f"{tp}.0.fn.5")
+
+            def attn(our: str, t: str) -> None:
+                _get_dense(flat, f"{our}.Dense_0", out, f"{t}.fn.to_qkv")
+                _get_dense(flat, f"{our}.Dense_1", out, f"{t}.fn.to_out.0")
+                out[f"{t}.fn.rel_pos_bias.weight"] = flat[f"{our}.rel_pos_bias"]
+
+            def ffn(our: str, t: str) -> None:
+                _get_conv(flat, f"{our}.Conv2d_0", out, f"{t}.fn.project_in")
+                _get_raw_conv(flat, f"{our}.Conv_0", out, f"{t}.fn.dwconv")
+                _get_conv(flat, f"{our}.Conv2d_1", out, f"{t}.fn.project_out")
+
+            def chan(our: str, t: str) -> None:
+                out[f"{t}.fn.temperature"] = flat[f"{our}.temperature"]
+                _get_conv(flat, f"{our}.Conv2d_0", out, f"{t}.fn.qkv")
+                _get_raw_conv(flat, f"{our}.Conv_0", out, f"{t}.fn.qkv_dwconv")
+                _get_conv(flat, f"{our}.Conv2d_1", out, f"{t}.fn.project_out")
+
+            for ln_i, layer_i in enumerate((2, 4, 5, 6, 8, 10, 11, 12)):
+                _get_ln(flat, f"{sc}.LayerNorm_{ln_i}", out, f"{tp}.{layer_i}.norm")
+            attn(f"{sc}.WindowAttentionPE_0", f"{tp}.2")
+            ffn(f"{sc}.GatedConvFFN_0", f"{tp}.4")
+            chan(f"{sc}.ChannelAttention_0", f"{tp}.5")
+            ffn(f"{sc}.GatedConvFFN_1", f"{tp}.6")
+            attn(f"{sc}.WindowAttentionPE_1", f"{tp}.8")
+            ffn(f"{sc}.GatedConvFFN_2", f"{tp}.10")
+            chan(f"{sc}.ChannelAttention_1", f"{tp}.11")
+            ffn(f"{sc}.GatedConvFFN_3", f"{tp}.12")
+        _get_conv(flat, f"{gs}.Conv2d_0", out,
+                  f"{gp}.residual_layer.{max(blocks) + 1}")
+        esa = f"{gs}.ESA_0"
+        _get_conv(flat, f"{esa}.Conv2d_0", out, f"{gp}.esa.conv1")
+        _get_raw_conv(flat, f"{esa}.Conv_0", out, f"{gp}.esa.conv2")
+        _get_conv(flat, f"{esa}.Conv2d_1", out, f"{gp}.esa.conv3")
+        _get_conv(flat, f"{esa}.Conv2d_2", out, f"{gp}.esa.conv_f")
+        _get_conv(flat, f"{esa}.Conv2d_3", out, f"{gp}.esa.conv4")
+    return out
+
+
+EXT_EXPORTERS["omnisr"] = export_omnisr
+
+
+def export_hitsrf(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_hitsrf (uniform depths reconstruction, like
+    srformer — true for all three reference presets)."""
+    from neosr_tpu.utils.torch_interop import _get_conv, _get_dense, _get_ln
+
+    out: dict[str, np.ndarray] = {}
+    n_blocks = len({
+        int(m.group(1)) for key in flat
+        if (m := re.match(r"HierarchicalBlock_(\d+)\.", key))
+    })
+    tops = {
+        int(m.group(1)) for key in flat
+        if (m := re.fullmatch(r"Conv2d_(\d+)\.Conv_0\.kernel", key))
+    }
+    ps_head = any(key.startswith("Upsample_0.") for key in flat)
+    ng = len(tops) - (4 if ps_head else 3)
+    per = n_blocks // ng
+    if per * ng != n_blocks:
+        msg = "hit_srf export requires uniform depths across groups"
+        raise ValueError(msg)
+
+    _get_conv(flat, "Conv2d_0", out, "conv_first")
+    if "LayerNorm_0.scale" in flat:
+        _get_ln(flat, "LayerNorm_0", out, "patch_embed.norm")
+    _get_ln(flat, "LayerNorm_1", out, "norm")
+    for g in range(ng):
+        for i in range(per):
+            tp = f"layers.{g}.residual_group.blocks.{i}"
+            sc = f"HierarchicalBlock_{g * per + i}"
+            _get_ln(flat, f"{sc}.LayerNorm_0", out, f"{tp}.norm1")
+            _get_ln(flat, f"{sc}.LayerNorm_1", out, f"{tp}.norm2")
+            scc = f"{sc}.SCC_0"
+            dfe = f"{scc}.DFE_0"
+            _get_conv(flat, f"{dfe}.Conv2d_0", out, f"{tp}.correlation.qv.conv.0")
+            _get_conv(flat, f"{dfe}.Conv2d_1", out, f"{tp}.correlation.qv.conv.2")
+            _get_conv(flat, f"{dfe}.Conv2d_2", out, f"{tp}.correlation.qv.conv.4")
+            _get_conv(flat, f"{dfe}.Conv2d_3", out, f"{tp}.correlation.qv.linear")
+            _get_dense(flat, f"{scc}.spatial_linear", out,
+                       f"{tp}.correlation.spatial_linear")
+            pos = f"{scc}.DynamicPosBias_0"
+            ptp = f"{tp}.correlation.pos"
+            _get_dense(flat, f"{pos}.Dense_0", out, f"{ptp}.pos_proj")
+            for n in range(1, 4):
+                _get_ln(flat, f"{pos}.LayerNorm_{n - 1}", out, f"{ptp}.pos{n}.0")
+                _get_dense(flat, f"{pos}.Dense_{n}", out, f"{ptp}.pos{n}.2")
+            _get_dense(flat, f"{scc}.Dense_0", out, f"{tp}.correlation.proj")
+            ffn = f"{sc}.ConvFFN_0"
+            _get_dense(flat, f"{ffn}.Dense_0", out, f"{tp}.mlp.fc1")
+            out[f"{tp}.mlp.dwconv.depthwise_conv.0.weight"] = np.ascontiguousarray(
+                np.transpose(flat[f"{ffn}.Conv_0.kernel"], (3, 2, 0, 1)))
+            out[f"{tp}.mlp.dwconv.depthwise_conv.0.bias"] = flat[f"{ffn}.Conv_0.bias"]
+            _get_dense(flat, f"{ffn}.Dense_1", out, f"{tp}.mlp.fc2")
+        _get_conv(flat, f"Conv2d_{g + 1}", out, f"layers.{g}.conv")
+    _get_conv(flat, f"Conv2d_{ng + 1}", out, "conv_after_body")
+    if ps_head:
+        _get_conv(flat, f"Conv2d_{ng + 2}", out, "conv_before_upsample.0")
+        k = 0
+        while f"Upsample_0.Conv2d_{k}.Conv_0.kernel" in flat:
+            _get_conv(flat, f"Upsample_0.Conv2d_{k}", out, f"upsample.{2 * k}")
+            k += 1
+        _get_conv(flat, f"Conv2d_{ng + 3}", out, "conv_last")
+    else:
+        _get_conv(flat, f"Conv2d_{ng + 2}", out, "upsample.0")
+    return out
+
+
+EXT_EXPORTERS["hit_srf"] = export_hitsrf

@@ -402,3 +402,25 @@ def test_cugan_pth_export_roundtrip(cpu_pinmem):
         "cugan_arch", "cugan", "cugan",
         {"scale": 4, "pro": True}, {"scale": 4, "pro": True}, x,
         atol=2e-4, allowed_missing=("pro",))
+
+
+def test_omnisr_pth_export_roundtrip(x):
+    _roundtrip_strict(
+        "omnisr_arch", "omnisr_net", "omnisr_net",
+        {"num_feat": 16, "res_num": 2, "block_num": 1, "window_size": 8,
+         "upsampling": 4, "pe": True},
+        {"num_feat": 16, "res_num": 2, "block_num": 1, "window_size": 8,
+         "upsampling": 4, "pe": True, "bias": True, "ffn_bias": True},
+        x, atol=1e-4)
+
+
+def test_hitsrf_pth_export_roundtrip(x):
+    _roundtrip_strict(
+        "hitsrf_arch", "hit_srf", "hit_srf",
+        {"embed_dim": 16, "depths": (2, 2), "num_heads": (2, 2),
+         "base_win_size": (4, 4), "mlp_ratio": 1,
+         "upsampler": "pixelshuffledirect"},
+        {"embed_dim": 16, "depths": [2, 2], "num_heads": [2, 2],
+         "base_win_size": [4, 4], "mlp_ratio": 1, "img_size": 16,
+         "upsampler": "pixelshuffledirect"},
+        x, atol=1e-4, allowed_missing=_SWIN_DERIVED)
