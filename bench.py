@@ -379,23 +379,32 @@ def bench_esrgan_otf_full(
 
 def _run_all() -> None:
     """Every north-star metric (BASELINE.md) in one driver record: each
-    metric is its own JSON line; the final line is the headline (compact)
-    with the others folded into `detail` so a last-line parser sees all."""
-    results = []
-    for fn in (bench_otf_degrade, bench_esrgan_otf_train, bench_esrgan_otf_full,
-               bench_transformer_train, bench_compact_train):
+    metric streams as its own JSON line THE MOMENT it finishes (remote
+    compiles can take tens of minutes — a timeout mid-run must not lose
+    completed results), and the final line re-emits the headline (compact,
+    measured FIRST for the same reason) with the others folded into
+    `detail` so a last-line parser sees everything."""
+    import sys as _sys
+
+    headline = None
+    extras = {}
+    for fn in (bench_compact_train, bench_esrgan_otf_train, bench_otf_degrade,
+               bench_esrgan_otf_full, bench_transformer_train):
         try:
-            results.append(fn())
+            r = fn()
         except Exception as e:  # noqa: BLE001 — a dead sub-bench must not hide the rest
-            results.append({"metric": getattr(fn, "__name__", "?"), "value": None,
-                            "unit": "error", "vs_baseline": None,
-                            "detail": {"error": repr(e)[:300]}})
-    headline = results[-1]
-    for r in results[:-1]:
-        print(json.dumps(r))
-        if r["value"] is not None:
-            headline["detail"][r["metric"]] = r["value"]
-    print(json.dumps(headline))
+            r = {"metric": getattr(fn, "__name__", "?"), "value": None,
+                 "unit": "error", "vs_baseline": None,
+                 "detail": {"error": repr(e)[:300]}}
+        print(json.dumps(r), flush=True)
+        _sys.stderr.write(f"[bench] {r['metric']} done\n")
+        if fn is bench_compact_train:
+            headline = r
+        elif r["value"] is not None:
+            extras[r["metric"]] = r["value"]
+    if headline is not None:
+        headline["detail"].update(extras)
+        print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":
