@@ -1543,3 +1543,74 @@ def export_hitsrf(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
 
 
 EXT_EXPORTERS["hit_srf"] = export_hitsrf
+
+
+def export_rgt(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_rgt (uniform depths reconstruction; even blocks
+    L_SA, odd RG_SA — the reference's fixed alternation)."""
+    from neosr_tpu.utils.torch_interop import _get_conv, _get_dense, _get_ln
+
+    out: dict[str, np.ndarray] = {}
+    n_blocks = len({
+        int(m.group(1)) for key in flat
+        if (m := re.match(r"RGTBlock_(\d+)\.", key))
+    })
+    tops = {
+        int(m.group(1)) for key in flat
+        if (m := re.fullmatch(r"Conv2d_(\d+)\.Conv_0\.kernel", key))
+    }
+    ng = len(tops) - 4  # conv_first + per-group + after_body + before_up + last
+    per = n_blocks // ng
+    if per * ng != n_blocks:
+        msg = "rgt export requires uniform depths across groups"
+        raise ValueError(msg)
+    _get_conv(flat, "Conv2d_0", out, "conv_first")
+    _get_ln(flat, "LayerNorm_0", out, "before_RG.1")
+    _get_ln(flat, "LayerNorm_1", out, "norm")
+    for g in range(ng):
+        for i in range(per):
+            tp, sc = f"layers.{g}.blocks.{i}", f"RGTBlock_{g * per + i}"
+            out[f"{tp}.gamma"] = flat[f"{sc}.gamma"]
+            _get_ln(flat, f"{sc}.LayerNorm_0", out, f"{tp}.norm1")
+            _get_ln(flat, f"{sc}.LayerNorm_1", out, f"{tp}.norm2")
+            if f"{sc}.L_SA_0.Dense_0.kernel" in flat:
+                attn = f"{sc}.L_SA_0"
+                _get_dense(flat, f"{attn}.Dense_0", out, f"{tp}.attn.qkv")
+                _get_dense(flat, f"{attn}.Dense_1", out, f"{tp}.attn.proj")
+                _get_raw_conv(flat, f"{attn}.Conv_0", out, f"{tp}.attn.get_v")
+                for br in (0, 1):
+                    pos = f"{attn}.SpatialAttentionBranch_{br}.DynamicPosBias_0"
+                    ptp = f"{tp}.attn.attns.{br}.pos"
+                    _get_dense(flat, f"{pos}.Dense_0", out, f"{ptp}.pos_proj")
+                    for n in range(1, 4):
+                        _get_ln(flat, f"{pos}.LayerNorm_{n - 1}", out,
+                                f"{ptp}.pos{n}.0")
+                        _get_dense(flat, f"{pos}.Dense_{n}", out, f"{ptp}.pos{n}.2")
+            else:
+                attn = f"{sc}.RG_SA_0"
+                _get_raw_conv(flat, f"{attn}.Conv_0", out, f"{tp}.attn.reduction1")
+                _get_raw_conv(flat, f"{attn}.Conv_1", out, f"{tp}.attn.dwconv")
+                _get_conv(flat, f"{attn}.Conv2d_0", out, f"{tp}.attn.conv")
+                _get_ln(flat, f"{attn}.LayerNorm_0", out, f"{tp}.attn.norm_act.0")
+                _get_dense(flat, f"{attn}.Dense_0", out, f"{tp}.attn.q")
+                _get_dense(flat, f"{attn}.Dense_1", out, f"{tp}.attn.k")
+                _get_dense(flat, f"{attn}.Dense_2", out, f"{tp}.attn.v")
+                _get_raw_conv(flat, f"{attn}.Conv_2", out, f"{tp}.attn.cpe")
+                _get_dense(flat, f"{attn}.Dense_3", out, f"{tp}.attn.proj")
+            ffn = f"{sc}.SGFN_0"
+            _get_dense(flat, f"{ffn}.Dense_0", out, f"{tp}.mlp.fc1")
+            _get_ln(flat, f"{ffn}.LayerNorm_0", out, f"{tp}.mlp.sg.norm")
+            _get_raw_conv(flat, f"{ffn}.Conv_0", out, f"{tp}.mlp.sg.conv")
+            _get_dense(flat, f"{ffn}.Dense_1", out, f"{tp}.mlp.fc2")
+        _get_conv(flat, f"Conv2d_{g + 1}", out, f"layers.{g}.conv")
+    _get_conv(flat, f"Conv2d_{ng + 1}", out, "conv_after_body")
+    _get_conv(flat, f"Conv2d_{ng + 2}", out, "conv_before_upsample.0")
+    k = 0
+    while f"Upsample_0.Conv2d_{k}.Conv_0.kernel" in flat:
+        _get_conv(flat, f"Upsample_0.Conv2d_{k}", out, f"upsample.{2 * k}")
+        k += 1
+    _get_conv(flat, f"Conv2d_{ng + 3}", out, "conv_last")
+    return out
+
+
+EXT_EXPORTERS["rgt"] = export_rgt

@@ -424,3 +424,39 @@ def test_hitsrf_pth_export_roundtrip(x):
          "base_win_size": [4, 4], "mlp_ratio": 1, "img_size": 16,
          "upsampler": "pixelshuffledirect"},
         x, atol=1e-4, allowed_missing=_SWIN_DERIVED)
+
+
+def test_rgt_pth_export_roundtrip():
+    """Like _roundtrip_strict but applies with deterministic=False: the
+    reference's train-mode _time rule (matching its .train())."""
+    import jax
+    import jax.numpy as jnp
+
+    from neosr_tpu.archs import build_network
+    from neosr_tpu.utils.torch_interop import to_torch_state_dict
+
+    x = np.random.default_rng(5).random((2, 16, 16, 3)).astype(np.float32)
+    kwargs = {"embed_dim": 32, "depth": (2, 2), "num_heads": (4, 4),
+              "split_size": (4, 4), "mlp_ratio": 1, "c_ratio": 0.5,
+              "drop_path_rate": 0.0}
+    net = build_network({"type": "rgt", **kwargs}, scale=4)
+    params = jax.jit(net.init)(jax.random.key(2), jnp.asarray(x))["params"]
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in to_torch_state_dict(params, "rgt").items()}
+    mod = _load_ref_arch("rgt_arch")
+    m = mod.rgt(embed_dim=32, depth=[2, 2], num_heads=[4, 4],
+                split_size=[4, 4], img_size=16, mlp_ratio=1, c_ratio=0.5,
+                drop_path_rate=0.0)
+    result = m.load_state_dict(sd, strict=False)
+    assert not result.unexpected_keys, result.unexpected_keys
+    allowed = (*_SWIN_DERIVED, "rpe_biases", "attn_mask_0", "attn_mask_1")
+    assert all(k.endswith(allowed) for k in result.missing_keys), \
+        result.missing_keys
+    m = m.train()
+    ours = jax.jit(lambda p, xx: net.apply({"params": p}, xx, False))(
+        params, jnp.asarray(x))
+    with torch.no_grad():
+        theirs = m(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy().transpose(0, 2, 3, 1),
+        atol=1e-4, rtol=1e-4)
