@@ -1614,3 +1614,51 @@ def export_rgt(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
 
 
 EXT_EXPORTERS["rgt"] = export_rgt
+
+
+def export_grformer(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_grformer (uniform depths reconstruction)."""
+    from neosr_tpu.utils.torch_interop import _get_conv, _get_dense, _get_ln
+
+    out: dict[str, np.ndarray] = {}
+    n_blocks = len({
+        int(m.group(1)) for key in flat
+        if (m := re.match(r"GRSAB_(\d+)\.", key))
+    })
+    tops = {
+        int(m.group(1)) for key in flat
+        if (m := re.fullmatch(r"Conv2d_(\d+)\.Conv_0\.kernel", key))
+    }
+    ng = len(tops) - 3  # conv_first + per-group + after_body + upsample.0
+    per = n_blocks // ng
+    if per * ng != n_blocks:
+        msg = "grformer export requires uniform depths across groups"
+        raise ValueError(msg)
+    _get_conv(flat, "Conv2d_0", out, "conv_first")
+    _get_ln(flat, "LayerNorm_0", out, "norm")
+    for g in range(ng):
+        for i in range(per):
+            tp, sc = f"layers.{g}.blocks.{i}", f"GRSAB_{g * per + i}"
+            _get_ln(flat, f"{sc}.LayerNorm_0", out, f"{tp}.norm1")
+            _get_ln(flat, f"{sc}.LayerNorm_1", out, f"{tp}.norm2")
+            attn = f"{sc}.GRSA_0"
+            for name in ("q1", "q2", "k1", "k2", "v1", "v2"):
+                _get_dense(flat, f"{attn}.{name}", out, f"{tp}.attn.{name}")
+            out[f"{tp}.attn.logit_scale"] = flat[f"{attn}.logit_scale"]
+            _get_dense(flat, f"{attn}.Dense_0", out, f"{tp}.attn.ESRPB_MLP.0")
+            _get_dense(flat, f"{attn}.Dense_1", out, f"{tp}.attn.ESRPB_MLP.2")
+            _get_dense(flat, f"{attn}.Dense_2", out, f"{tp}.attn.proj1")
+            _get_dense(flat, f"{attn}.Dense_3", out, f"{tp}.attn.proj2")
+            _get_dense(flat, f"{sc}.Dense_0", out, f"{tp}.mlp.fc1")
+            _get_raw_conv(flat, f"{sc}.Conv_0", out,
+                          f"{tp}.mlp.dwconv.depthwise_conv.0")
+            _get_raw_conv(flat, f"{sc}.Conv_1", out,
+                          f"{tp}.mlp.dwconv.depthwise_conv.2")
+            _get_dense(flat, f"{sc}.Dense_1", out, f"{tp}.mlp.fc2")
+        _get_conv(flat, f"Conv2d_{g + 1}", out, f"layers.{g}.conv")
+    _get_conv(flat, f"Conv2d_{ng + 1}", out, "conv_after_body")
+    _get_conv(flat, f"Conv2d_{ng + 2}", out, "upsample.0")
+    return out
+
+
+EXT_EXPORTERS["grformer"] = export_grformer

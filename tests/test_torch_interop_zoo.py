@@ -460,3 +460,18 @@ def test_rgt_pth_export_roundtrip():
     np.testing.assert_allclose(
         np.asarray(ours), theirs.numpy().transpose(0, 2, 3, 1),
         atol=1e-4, rtol=1e-4)
+
+
+def test_grformer_pth_export_roundtrip():
+    x = np.random.default_rng(6).random((1, 16, 16, 3)).astype(np.float32)
+    _roundtrip_strict(
+        "grformer_arch", "grformer", "grformer",
+        {"embed_dim": 16, "depths": (2, 2), "num_heads": (2, 2),
+         "window_size": (4, 8), "mlp_ratio": 1},
+        {"embed_dim": 16, "depths": [2, 2], "num_heads": [2, 2],
+         "window_size": [4, 8], "img_size": 16, "mlp_ratio": 1,
+         "drop_path_rate": 0.0},
+        x, atol=1e-4,
+        allowed_missing=(*_SWIN_DERIVED, "relative_coords_table", "attn_mask",
+                         # ESRPB's table buffer is derived from its MLP
+                         "relative_position_bias_table"))
