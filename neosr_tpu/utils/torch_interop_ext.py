@@ -1662,3 +1662,89 @@ def export_grformer(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
 
 
 EXT_EXPORTERS["grformer"] = export_grformer
+
+
+def export_hma(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_hma.  Uniform depths reconstruction; per group of
+    depth d the torch `blocks` Sequential interleaves FusedConv (before
+    even-indexed FABs) and FABs: FC,FAB,FAB,FC,FAB,FAB,..."""
+    from neosr_tpu.utils.torch_interop import _get_conv, _get_dense, _get_ln
+
+    out: dict[str, np.ndarray] = {}
+    n_fab = len({
+        int(m.group(1)) for key in flat if (m := re.match(r"FAB_(\d+)\.", key))
+    })
+    ng = len({
+        int(m.group(1)) for key in flat if (m := re.match(r"GAB_(\d+)\.", key))
+    })
+    per = n_fab // ng
+    if per * ng != n_fab:
+        msg = "hma export requires uniform depths across groups"
+        raise ValueError(msg)
+
+    def win_attn(our: str, t: str) -> None:
+        out[f"{t}.relative_position_bias_table"] = flat[
+            f"{our}.relative_position_bias_table"]
+        _get_dense(flat, f"{our}.Dense_0", out, f"{t}.proj")
+
+    def pos_bias(our: str, t: str) -> None:
+        _get_dense(flat, f"{our}.Dense_0", out, f"{t}.pos_proj")
+        for n in range(1, 4):
+            _get_ln(flat, f"{our}.LayerNorm_{n - 1}", out, f"{t}.pos{n}.0")
+            _get_dense(flat, f"{our}.Dense_{n}", out, f"{t}.pos{n}.2")
+
+    _get_conv(flat, "Conv2d_0", out, "conv_first")
+    if "LayerNorm_0.scale" in flat:
+        _get_ln(flat, "LayerNorm_0", out, "patch_embed.norm")
+    _get_ln(flat, "LayerNorm_1", out, "norm")
+    n_fc = fab_i = 0
+    for g in range(ng):
+        gp = f"layers.{g}.residual_group"
+        j = 0
+        for i in range(per):
+            if i % 2 == 0:
+                tp, sc = f"{gp}.blocks.{j}", f"FusedConv_{n_fc}"
+                n_fc += 1
+                j += 1
+                _get_ln(flat, f"{sc}.LayerNorm_0", out, f"{tp}.pre_norm")
+                _get_conv(flat, f"{sc}.Conv2d_0", out, f"{tp}.fused_conv")
+                _get_ln(flat, f"{sc}.LayerNorm_1", out, f"{tp}.norm1")
+                _get_conv(flat, f"{sc}.Conv2d_1", out, f"{tp}.se.fc1")
+                _get_conv(flat, f"{sc}.Conv2d_2", out, f"{tp}.se.fc2")
+                _get_conv(flat, f"{sc}.Conv2d_3", out, f"{tp}.conv3_1x1")
+            tp, sc = f"{gp}.blocks.{j}", f"FAB_{fab_i}"
+            fab_i += 1
+            j += 1
+            _get_ln(flat, f"{sc}.LayerNorm_0", out, f"{tp}.norm1")
+            _get_dense(flat, f"{sc}.Dense_0", out, f"{tp}.qkv")
+            win_attn(f"{sc}.WindowAttentionQKV_0", f"{tp}.attn")
+            _get_ln(flat, f"{sc}.LayerNorm_1", out, f"{tp}.norm2")
+            _get_dense(flat, f"{sc}.Mlp_0.Dense_0", out, f"{tp}.mlp.fc1")
+            _get_dense(flat, f"{sc}.Mlp_0.Dense_1", out, f"{tp}.mlp.fc2")
+        gab = f"GAB_{g}"
+        _get_dense(flat, f"{gab}.Dense_0", out, f"{gp}.gab.qkv")
+        _get_dense(flat, f"{gab}.Dense_1", out, f"{gp}.gab.grid_proj")
+        pos_bias(f"{gab}.AffineTransform_0.DynamicPosBias_0",
+                 f"{gp}.gab.grid_attn.attn_transform1.pos")
+        pos_bias(f"{gab}.AffineTransform_1.DynamicPosBias_0",
+                 f"{gp}.gab.grid_attn.attn_transform2.pos")
+        win_attn(f"{gab}.WindowAttentionQKV_0", f"{gp}.gab.window_attn")
+        win_attn(f"{gab}.WindowAttentionQKV_1", f"{gp}.gab.window_attn_s")
+        _get_dense(flat, f"{gab}.Dense_2", out, f"{gp}.gab.fc")
+        _get_ln(flat, f"{gab}.LayerNorm_0", out, f"{gp}.gab.norm1")
+        _get_ln(flat, f"{gab}.LayerNorm_1", out, f"{gp}.gab.norm2")
+        _get_dense(flat, f"{gab}.Mlp_0.Dense_0", out, f"{gp}.gab.mlp.fc1")
+        _get_dense(flat, f"{gab}.Mlp_0.Dense_1", out, f"{gp}.gab.mlp.fc2")
+        out[f"{gp}.scale"] = flat[f"group_scale_{g}"]
+        _get_conv(flat, f"Conv2d_{g + 1}", out, f"layers.{g}.conv")
+    _get_conv(flat, f"Conv2d_{ng + 1}", out, "conv_after_body")
+    _get_conv(flat, f"Conv2d_{ng + 2}", out, "conv_before_upsample.0")
+    k = 0
+    while f"Upsample_0.Conv2d_{k}.Conv_0.kernel" in flat:
+        _get_conv(flat, f"Upsample_0.Conv2d_{k}", out, f"upsample.{2 * k}")
+        k += 1
+    _get_conv(flat, f"Conv2d_{ng + 3}", out, "conv_last")
+    return out
+
+
+EXT_EXPORTERS["hma"] = export_hma

@@ -475,3 +475,15 @@ def test_grformer_pth_export_roundtrip():
         allowed_missing=(*_SWIN_DERIVED, "relative_coords_table", "attn_mask",
                          # ESRPB's table buffer is derived from its MLP
                          "relative_position_bias_table"))
+
+
+def test_hma_pth_export_roundtrip():
+    x = np.random.default_rng(7).random((1, 16, 16, 3)).astype(np.float32)
+    _roundtrip_strict(
+        "hma_arch", "hma", "hma",
+        {"embed_dim": 32, "depths": (2,), "num_heads": (4,), "window_size": 8,
+         "interval_size": 4, "mlp_ratio": 1, "drop_path_rate": 0.0},
+        {"embed_dim": 32, "depths": [2], "num_heads": [4], "window_size": 8,
+         "interval_size": 4, "img_size": 16, "mlp_ratio": 1,
+         "drop_path_rate": 0.0},
+        x, atol=1e-4, allowed_missing=(*_SWIN_DERIVED, "rpi_sa", "attn_mask"))
