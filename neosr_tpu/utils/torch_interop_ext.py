@@ -1748,3 +1748,147 @@ def export_hma(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
 
 
 EXT_EXPORTERS["hma"] = export_hma
+
+
+def export_ditn(flat: dict[str, np.ndarray],
+                ufone_blocks: int = 1) -> dict[str, np.ndarray]:
+    """Inverse of convert_ditn.  The UFONE count cannot be recovered from
+    flat params alone (only ITL/SAL totals are visible); defaults to the
+    reference's registered preset (UFONE_blocks=1, ditn_arch.py:267).  The
+    reference ISA's dead `temperature` parameter is not emitted (its
+    forward discards it) — strict loads should allow it missing."""
+    from neosr_tpu.utils.torch_interop import _get_conv, _get_dense
+
+    out: dict[str, np.ndarray] = {}
+    _get_conv(flat, "Conv2d_0", out, "sft")
+
+    def ffn(sc: str, tp: str) -> None:
+        _get_conv(flat, f"{sc}.Conv2d_0", out, f"{tp}.project_in")
+        _get_raw_conv(flat, f"{sc}.Conv_0", out, f"{tp}.dwconv")
+        _get_conv(flat, f"{sc}.Conv2d_1", out, f"{tp}.project_out")
+
+    total_itl = len({
+        int(m.group(1)) for key in flat if (m := re.match(r"ITL_(\d+)\.", key))
+    })
+    total_sal = len({
+        int(m.group(1)) for key in flat if (m := re.match(r"SAL_(\d+)\.", key))
+    })
+    u_n = ufone_blocks
+    n_itl, n_sal = total_itl // u_n, total_sal // u_n
+    for u in range(u_n):
+        for i in range(n_itl):
+            tp, sc = f"UFONE.{u}.ITLs.{i}", f"ITL_{u * n_itl + i}"
+            _get_conv(flat, f"{sc}.Conv2d_0", out, f"{tp}.conv1")
+            _get_dense(flat, f"{sc}.ISA_0.Dense_0", out, f"{tp}.attn.qkv")
+            _get_conv(flat, f"{sc}.ISA_0.Conv2d_0", out, f"{tp}.attn.project_out")
+            _get_conv(flat, f"{sc}.Conv2d_1", out, f"{tp}.conv2")
+            ffn(f"{sc}.FeedForward_0", f"{tp}.ffn")
+        for j in range(n_sal):
+            tp, sc = f"UFONE.{u}.SALs.{j}", f"SAL_{u * n_sal + j}"
+            _get_conv(flat, f"{sc}.Conv2d_0", out, f"{tp}.conv1")
+            sda = f"{sc}.SDA_0"
+            _get_scale(flat, f"{sda}.scale", out, f"{tp}.SDA.scale")
+            _get_conv(flat, f"{sda}.Conv2d_0", out, f"{tp}.SDA.proj_first.0")
+            _get_raw_conv(flat, f"{sda}.Conv_0", out, f"{tp}.SDA.DConvs.0")
+            _get_raw_conv(flat, f"{sda}.Conv_1", out, f"{tp}.SDA.DConvs.1")
+            _get_conv(flat, f"{sda}.Conv2d_1", out, f"{tp}.SDA.DConvs.2")
+            _get_conv(flat, f"{sda}.Conv2d_2", out, f"{tp}.SDA.proj_last.0")
+            _get_conv(flat, f"{sc}.Conv2d_1", out, f"{tp}.conv2")
+            ffn(f"{sc}.FeedForward_0", f"{tp}.ffn")
+    _get_conv(flat, "Conv2d_1", out, "conv_after_body")
+    _get_conv(flat, "Conv2d_2", out, "upsample.0")
+    return out
+
+
+EXT_EXPORTERS["ditn"] = export_ditn
+
+
+def export_msdan(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_msdan (key-syntax rewrite).  The reference
+    constructs BOTH x2 and x3 upsampler stages; only the stage matching the
+    trained scale exists in our params — strict loads should allow the
+    unused stage missing."""
+    from neosr_tpu.utils.torch_interop import _ik
+
+    ups_mods = ("BSConv_2", "BSConv1_2", "BSConv_3", "BSConv1_3")
+    out: dict[str, np.ndarray] = {}
+    for key, val in flat.items():
+        parts = key.split(".")
+        if m := re.fullmatch(r"DFEB_(\d+)", parts[0]):
+            parts[0:1] = ["layers", m.group(1)]
+        elif parts[0] in ups_mods:
+            parts.insert(0, "upsampler")
+        if parts[-1] == "kernel":
+            val = _ik(val)
+            parts[-1] = "weight"
+            if parts[-2] == "Conv_0":
+                parts.pop(-2)
+        elif parts[-1] == "bias" and parts[-2] == "Conv_0":
+            parts.pop(-2)
+        out[".".join(parts)] = np.asarray(val)
+    return out
+
+
+EXT_EXPORTERS["msdan"] = export_msdan
+
+
+def export_craft(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_craft (model-level rpe/mask buffers not emitted).
+    Note the reference cannot torch.onnx-export craft; the .pth layout is
+    still useful for ecosystem checkpoint interop."""
+    from neosr_tpu.utils.torch_interop import _get_conv, _get_dense, _get_ln
+
+    out: dict[str, np.ndarray] = {}
+    _get_conv(flat, "Conv2d_0", out, "conv_first")
+    _get_ln(flat, "LayerNorm_0", out, "norm.body")
+    ng = len({
+        int(m.group(1)) for key in flat if (m := re.match(r"CRFB_(\d+)\.", key))
+    })
+    for g in range(ng):
+        gp, gs = f"layers.{g}.residual_group", f"CRFB_{g}"
+        n_srwa = len({
+            int(m.group(1)) for key in flat
+            if (m := re.match(rf"CRFB_{g}\.SRWAB_(\d+)\.", key))
+        })
+        for j in range(n_srwa):
+            tp, sc = f"{gp}.srwa_blocks.{j}", f"{gs}.SRWAB_{j}"
+            _get_ln(flat, f"{sc}.LayerNorm_0", out, f"{tp}.norm1")
+            _get_ln(flat, f"{sc}.LayerNorm_1", out, f"{tp}.norm2")
+            lsa = f"{sc}.L_SA_0"
+            _get_dense(flat, f"{lsa}.Dense_0", out, f"{tp}.qkv")
+            _get_dense(flat, f"{lsa}.Dense_1", out, f"{tp}.proj")
+            _get_raw_conv(flat, f"{lsa}.Conv_0", out, f"{tp}.get_v")
+            for br in (0, 1):
+                pos = f"{lsa}.SpatialAttentionBranch_{br}.DynamicPosBias_0"
+                ptp = f"{tp}.attns.{br}.pos"
+                _get_dense(flat, f"{pos}.Dense_0", out, f"{ptp}.pos_proj")
+                for n in range(1, 4):
+                    _get_ln(flat, f"{pos}.LayerNorm_{n - 1}", out,
+                            f"{ptp}.pos{n}.0")
+                    _get_dense(flat, f"{pos}.Dense_{n}", out, f"{ptp}.pos{n}.2")
+            _get_dense(flat, f"{sc}.Mlp_0.Dense_0", out, f"{tp}.mlp.fc1")
+            _get_dense(flat, f"{sc}.Mlp_0.Dense_1", out, f"{tp}.mlp.fc2")
+        for i in range(n_srwa // 2):
+            tp, sc = f"{gp}.hfer_blocks.{i}", f"{gs}.HFERB_{i}"
+            _get_conv(flat, f"{sc}.Conv2d_0", out, f"{tp}.conv")
+            _get_conv(flat, f"{sc}.Conv2d_1", out, f"{tp}.fc")
+            _get_conv(flat, f"{sc}.Conv2d_2", out, f"{tp}.last_fc")
+            tp, sc = f"{gp}.hf_blocks.{i}", f"{gs}.HFB_{i}"
+            _get_ln(flat, f"{sc}.LayerNorm_0", out, f"{tp}.norm1.body")
+            _get_ln(flat, f"{sc}.LayerNorm_1", out, f"{tp}.norm2.body")
+            out[f"{tp}.attn.temperature"] = flat[f"{sc}.temperature"]
+            _get_conv(flat, f"{sc}.Conv2d_0", out, f"{tp}.attn.q")
+            _get_raw_conv(flat, f"{sc}.Conv_0", out, f"{tp}.attn.q_dwconv")
+            _get_conv(flat, f"{sc}.Conv2d_1", out, f"{tp}.attn.kv")
+            _get_raw_conv(flat, f"{sc}.Conv_1", out, f"{tp}.attn.kv_dwconv")
+            _get_conv(flat, f"{sc}.Conv2d_2", out, f"{tp}.attn.project_out")
+            _get_conv(flat, f"{sc}.Conv2d_3", out, f"{tp}.ffn.project_in")
+            _get_raw_conv(flat, f"{sc}.Conv_2", out, f"{tp}.ffn.dwconv")
+            _get_conv(flat, f"{sc}.Conv2d_4", out, f"{tp}.ffn.project_out")
+        _get_conv(flat, f"Conv2d_{g + 1}", out, f"layers.{g}.conv")
+    _get_conv(flat, f"Conv2d_{ng + 1}", out, "conv_after_body")
+    _get_conv(flat, f"Conv2d_{ng + 2}", out, "upsample.0")
+    return out
+
+
+EXT_EXPORTERS["craft"] = export_craft

@@ -487,3 +487,45 @@ def test_hma_pth_export_roundtrip():
          "interval_size": 4, "img_size": 16, "mlp_ratio": 1,
          "drop_path_rate": 0.0},
         x, atol=1e-4, allowed_missing=(*_SWIN_DERIVED, "rpi_sa", "attn_mask"))
+
+
+def test_ditn_pth_export_roundtrip(x):
+    _roundtrip_strict(
+        "ditn_arch", "ditn", "ditn",
+        {"ITL_blocks": 2, "SAL_blocks": 2, "UFONE_blocks": 1,
+         "patch_size": 8},
+        {"ITL_blocks": 2, "SAL_blocks": 2, "UFONE_blocks": 1,
+         "patch_size": 8},
+        x, atol=1e-4, allowed_missing=("temperature",))
+
+
+@pytest.mark.parametrize("scale", [4, 3])
+def test_msdan_pth_export_roundtrip(scale):
+    x = np.random.default_rng(9).random((1, 16, 16, 3)).astype(np.float32)
+    unused = ("BSConv_3", "BSConv1_3") if scale in (2, 4) else \
+             ("BSConv_2", "BSConv1_2")
+    _roundtrip_strict(
+        "msdan_arch", "msdan", "msdan",
+        {"channels": 16, "num_DFEB": 2, "upscale_factor": scale},
+        {"channels": 16, "num_DFEB": 2, "upscale_factor": scale},
+        x, atol=1e-4,
+        allowed_missing=tuple(
+            suffix for stage in unused
+            for suffix in (f"{stage}.pw.weight", f"{stage}.pw.bias",
+                           f"{stage}.dw.weight", f"{stage}.dw.bias")))
+
+
+def test_craft_pth_export_roundtrip():
+    x = np.random.default_rng(8).random((1, 16, 16, 3)).astype(np.float32)
+    _roundtrip_strict(
+        "craft_arch", "craft", "craft",
+        {"embed_dim": 32, "depths": (2,), "num_heads": (4,), "window_size": 16,
+         "split_size_0": 2, "split_size_1": 4, "mlp_ratio": 1},
+        {"embed_dim": 32, "depths": [2], "num_heads": [4], "window_size": 16,
+         "split_size_0": 2, "split_size_1": 4, "mlp_ratio": 1,
+         "img_size": 16},
+        x, atol=1e-4,
+        allowed_missing=(*_SWIN_DERIVED, "rpe_biases",
+                         "relative_position_index_h",
+                         "relative_position_index_v",
+                         "biases_v", "biases_h"))
