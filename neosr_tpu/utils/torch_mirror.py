@@ -1991,6 +1991,117 @@ def _srformer_mirror(opt: dict[str, Any], scale: int):
     return SRFormerMirror()
 
 
+def _msdan_mirror(opt: dict[str, Any], scale: int):
+    """Torch mirror of our flax MSDAN (archs/msdan.py): shared-conv EBFB
+    gates, EMSSA multi-scale pooled attention (shared merge/gate conv),
+    weight-shared x2 upsampler stages, plain-bicubic residual."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    ch = opt.get("channels", 28)
+    n_dfeb = opt.get("num_DFEB", 8)
+    if scale not in (2, 3, 4):
+        msg = "msdan ONNX mirror supports scale 2/3/4"
+        raise ValueError(msg)
+
+    class BS(nn.Module):
+        def __init__(self, c_in: int, c_out: int, k: int = 3) -> None:
+            super().__init__()
+            self.pw = nn.Conv2d(c_in, c_out, 1, bias=False)
+            self.dw = nn.Conv2d(c_out, c_out, k, padding=k // 2, groups=c_out)
+
+        def forward(self, x):
+            return self.dw(self.pw(x))
+
+    class EBFBM(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.conv1 = nn.Conv2d(ch, ch, 1)
+            self.BSConv3 = BS(ch, ch, 3)
+            self.BSConv5 = BS(ch, ch, 5)
+            self.BSConv7 = BS(ch, ch, 7)
+            self.conv1_down = nn.Conv2d(4 * ch, ch, 1)
+
+        def forward(self, x):
+            x1 = self.conv1(x)
+            x2 = torch.sigmoid(self.conv1(x)) * F.gelu(self.BSConv3(x))
+            o1 = x1 + x2
+            x3 = self.conv1(o1)
+            x4 = torch.sigmoid(self.conv1(o1)) * F.gelu(self.BSConv5(o1))
+            o2 = x3 + x4
+            x5 = self.conv1(o2)
+            x6 = torch.sigmoid(self.conv1(o2)) * F.gelu(self.BSConv7(o2))
+            return self.conv1_down(torch.cat([x1, x3, x5, x6], dim=1))
+
+    class EMSSAM(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            c4 = ch // 4
+            self.conv1 = nn.Conv2d(ch, ch, 1)
+            self.conv1_down = nn.Conv2d(ch, c4, 1)
+            self.conv1_mid = nn.Conv2d(c4, c4, 1)
+            self.BSConv7 = BS(c4, c4, 7)
+            self.BSConv5 = BS(c4, c4, 5)
+            self.BSConv3 = BS(c4, c4, 3)
+            self.conv1_up = nn.Conv2d(c4, ch, 1)
+
+        def forward(self, x0):
+            x = self.conv1_down(x0)
+            outs = [self.conv1_mid(x)]
+            for bs, factor in ((self.BSConv7, 2), (self.BSConv5, 4),
+                               (self.BSConv3, 8)):
+                s = F.max_pool2d(x, kernel_size=factor, stride=factor)
+                s = bs(s)
+                outs.append(F.interpolate(s, scale_factor=factor,
+                                          mode="nearest"))
+            merged = self.conv1(torch.cat(outs, dim=1)) + self.conv1_up(x)
+            return x0 * torch.sigmoid(self.conv1(merged))
+
+    class DFEBM(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.EBFB = EBFBM()
+            self.EMSSA = EMSSAM()
+
+        def forward(self, x0):
+            return self.EMSSA(self.EBFB(x0)) + x0
+
+    class MsdanMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.BSConv_first = BS(3, ch, 3)
+            self.layers = nn.ModuleList(DFEBM() for _ in range(n_dfeb))
+            ups = nn.Module()
+            if scale in (2, 4):
+                ups.BSConv_2 = BS(ch, ch, 3)
+                ups.BSConv1_2 = BS(ch // 4, ch, 3)
+            else:
+                ups.BSConv_3 = BS(ch, 54, 3)
+                ups.BSConv1_3 = BS(6, ch, 3)
+            self.upsampler = ups
+            self.BSConv_last = BS(ch, 3, 3)
+
+        def forward(self, x0):
+            x1 = self.BSConv_first(x0)
+            x = x1
+            for layer in self.layers:
+                x = layer(x)
+            x = x + x1
+            if scale in (2, 4):
+                for _ in range(1 if scale == 2 else 2):
+                    x = F.pixel_shuffle(self.upsampler.BSConv_2(x), 2)
+                    x = F.gelu(self.upsampler.BSConv1_2(x))
+            else:
+                x = F.pixel_shuffle(self.upsampler.BSConv_3(x), 3)
+                x = F.gelu(self.upsampler.BSConv1_3(x))
+            up = F.interpolate(x0, scale_factor=scale, mode="bicubic",
+                               align_corners=False)
+            return up + self.BSConv_last(x)
+
+    return MsdanMirror()
+
+
 _MIRRORS = {
     "compact": _compact_mirror,
     "span": _span_mirror,
@@ -2008,6 +2119,7 @@ _MIRRORS = {
     "mosr": _mosr_mirror,
     "light_safmnpp": _light_safmnpp_mirror,
     "srformer": _srformer_mirror,
+    "msdan": _msdan_mirror,
 }
 
 

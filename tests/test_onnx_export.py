@@ -51,6 +51,8 @@ CASES = [
     ("srformer", {"embed_dim": 16, "depths": [2], "num_heads": [2],
                   "window_size": 8, "mlp_ratio": 1.0, "drop_path_rate": 0.0,
                   "upsampler": "pixelshuffle"}, 4),
+    ("msdan", {"channels": 16, "num_DFEB": 2}, 4),
+    ("msdan", {"channels": 16, "num_DFEB": 2}, 3),
 ]
 
 
