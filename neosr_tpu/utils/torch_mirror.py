@@ -2102,6 +2102,200 @@ def _msdan_mirror(opt: dict[str, Any], scale: int):
     return MsdanMirror()
 
 
+def _hitsrf_mirror(opt: dict[str, Any], scale: int):
+    """Torch mirror of our flax HiT-SR (archs/hitsrf.py): DFE q/v split,
+    spatial self-correlation against base-window-pooled v (learnable
+    spatial linear + DynamicPosBias averaged over expansion groups),
+    single-head channel correlation, post-norm, ConvFFN."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from neosr_tpu.archs.dat import rect_rel_coords
+
+    dim = opt.get("embed_dim", 60)
+    depths = list(opt.get("depths", (6, 6, 6, 6)))
+    heads = list(opt.get("num_heads", (6,) * len(depths)))
+    base_win = tuple(opt.get("base_win_size", (8, 8)))
+    mlp_ratio = opt.get("mlp_ratio", 2.0)
+    patch_norm = opt.get("patch_norm", True)
+    img_range = opt.get("img_range", 1.0)
+    upsampler = opt.get("upsampler", "pixelshuffledirect")
+    ratios = list(opt.get("hier_win_ratios", (0.5, 1, 2, 4, 6, 8)))
+    in_chans = opt.get("in_chans", 3)
+    num_feat = 64
+    win_hs = [int(base_win[0] * r) for r in ratios]
+    win_ws = [int(base_win[1] * r) for r in ratios]
+
+    class SCCM(nn.Module):
+        def __init__(self, n_heads: int, wh: int, ww: int) -> None:
+            super().__init__()
+            self.n_heads, self.wh, self.ww = n_heads, wh, ww
+            bh, bw = min(wh, base_win[0]), min(ww, base_win[1])
+            self.bh, self.bw = bh, bw
+            ratio = (wh * ww) // (bh * bw)
+            self.qv = nn.ModuleDict({
+                "conv": nn.Sequential(
+                    nn.Conv2d(dim, dim // 5, 1), nn.Identity(),
+                    nn.Conv2d(dim // 5, dim // 5, 3, padding=1), nn.Identity(),
+                    nn.Conv2d(dim // 5, dim, 1)),
+                "linear": nn.Conv2d(dim, dim, 1)})
+            self.spatial_linear = nn.Linear(ratio, 1)
+            pd = max(dim // 16, 1)
+            pos = nn.Module()
+            pos.pos_proj = nn.Linear(2, pd)
+            pos.pos1 = nn.Sequential(nn.LayerNorm(pd), nn.Identity(),
+                                     nn.Linear(pd, pd))
+            pos.pos2 = nn.Sequential(nn.LayerNorm(pd), nn.Identity(),
+                                     nn.Linear(pd, pd))
+            pos.pos3 = nn.Sequential(nn.LayerNorm(pd), nn.Identity(),
+                                     nn.Linear(pd, n_heads))
+            self.pos = pos
+            self.proj = nn.Linear(dim, dim)
+            biases, idx = rect_rel_coords(wh, ww)
+            self.register_buffer("biases", torch.from_numpy(biases.copy()),
+                                 persistent=False)
+            self.register_buffer("rpi", torch.from_numpy(idx.copy()).long(),
+                                 persistent=False)
+
+        def forward(self, x):  # BHWC, H,W multiples of window
+            b, H, W, C = x.shape
+            wh, ww, bh, bw = self.wh, self.ww, self.bh, self.bw
+            hd = C // (2 * self.n_heads)
+            nh = self.n_heads
+            xc = x.permute(0, 3, 1, 2)
+            conv = self.qv["conv"]
+            hqv = F.leaky_relu(conv[0](xc), 0.2)
+            hqv = F.leaky_relu(conv[2](hqv), 0.2)
+            hqv = conv[4](hqv)
+            qv = (hqv * self.qv["linear"](xc)).permute(0, 2, 3, 1)
+            w_ = qv.view(b, H // wh, wh, W // ww, ww, C)
+            w_ = w_.permute(0, 1, 3, 2, 4, 5).reshape(-1, wh * ww, C)
+            b_, L, _ = w_.shape
+            qv = w_.view(b_, L, 2, nh, hd).permute(2, 0, 3, 1, 4)
+            q, v = qv[0], qv[1]
+            ratio = L // (bh * bw)
+            v_sp = v.reshape(b_, nh, bh, wh // bh, bw, ww // bw, hd)
+            v_sp = v_sp.permute(0, 1, 2, 4, 6, 3, 5)
+            v_sp = v_sp.reshape(b_, nh, bh * bw, hd, ratio)
+            v_sp = self.spatial_linear(v_sp)[..., 0]
+            corr = (q @ v_sp.transpose(-2, -1)) / float(hd)
+            p = self.pos.pos_proj(self.biases)
+            for n in (1, 2, 3):
+                seq = getattr(self.pos, f"pos{n}")
+                p = seq[2](F.relu(seq[0](p)))
+            bias = p[self.rpi.view(-1)].view(L, L, nh)
+            bias = bias.view(L, bh, wh // bh, bw, ww // bw, nh)
+            bias = bias.permute(0, 1, 3, 5, 2, 4).reshape(L, bh * bw, nh, -1)
+            bias = bias.mean(-1).permute(2, 0, 1)
+            corr = corr + bias[None]
+            x_sp = (corr @ v_sp).transpose(1, 2).reshape(b_, L, C // 2)
+            qc = q.transpose(1, 2).reshape(b_, L, nh * hd)
+            vc = v.transpose(1, 2).reshape(b_, L, nh * hd)
+            cmap = (qc.transpose(-2, -1) @ vc) / float(L)
+            x_ch = vc @ cmap.transpose(-2, -1)
+            out = torch.cat([x_sp, x_ch], dim=-1)
+            out = self.proj(out)
+            out = out.view(b, H // wh, W // ww, wh, ww, C)
+            return out.permute(0, 1, 3, 2, 4, 5).reshape(b, H, W, C)
+
+    class ConvFFNM(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            hidden = int(dim * mlp_ratio)
+            self.fc1 = nn.Linear(dim, hidden)
+            self.fc2 = nn.Linear(hidden, dim)
+            self.dwconv = nn.ModuleDict({"depthwise_conv": nn.Sequential(
+                nn.Conv2d(hidden, hidden, 5, padding=2, groups=hidden))})
+
+        def forward(self, x):
+            h = F.gelu(self.fc1(x))
+            dw = self.dwconv["depthwise_conv"][0](
+                h.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            return self.fc2(h + F.gelu(dw))
+
+    class BlockM(nn.Module):
+        def __init__(self, n_heads: int, wh: int, ww: int) -> None:
+            super().__init__()
+            self.correlation = SCCM(n_heads, wh, ww)
+            self.norm1 = nn.LayerNorm(dim, eps=1e-5)
+            self.norm2 = nn.LayerNorm(dim, eps=1e-5)
+            self.mlp = ConvFFNM()
+
+        def forward(self, x):
+            shortcut = x
+            y = self.norm1(self.correlation(x))  # post-norm
+            x = shortcut + y
+            return x + self.norm2(self.mlp(x))
+
+    class HitSrfMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.conv_first = nn.Conv2d(in_chans, dim, 3, padding=1)
+            if patch_norm:
+                self.patch_embed = nn.ModuleDict(
+                    {"norm": nn.LayerNorm(dim, eps=1e-5)})
+            groups = []
+            convs = []
+            for gi, depth in enumerate(depths):
+                blocks = nn.ModuleList(
+                    BlockM(heads[gi],
+                           win_hs[i % len(win_hs)], win_ws[i % len(win_ws)])
+                    for i in range(depth))
+                groups.append(nn.ModuleDict({"residual_group": nn.ModuleDict(
+                    {"blocks": blocks})}))
+                convs.append(nn.Conv2d(dim, dim, 3, padding=1))
+            self.layers = nn.ModuleList(groups)
+            for g, conv in enumerate(convs):
+                self.layers[g].conv = conv
+            self.norm = nn.LayerNorm(dim, eps=1e-5)
+            self.conv_after_body = nn.Conv2d(dim, dim, 3, padding=1)
+            if upsampler == "pixelshuffle":
+                self.conv_before_upsample = nn.Sequential(
+                    nn.Conv2d(dim, num_feat, 3, padding=1))
+                ups: list[nn.Module] = []
+                s = scale
+                while s % 2 == 0 and s > 1:
+                    ups += [nn.Conv2d(num_feat, 4 * num_feat, 3, padding=1),
+                            nn.PixelShuffle(2)]
+                    s //= 2
+                if s == 3:
+                    ups += [nn.Conv2d(num_feat, 9 * num_feat, 3, padding=1),
+                            nn.PixelShuffle(3)]
+                self.upsample = nn.Sequential(*ups)
+                self.conv_last = nn.Conv2d(num_feat, in_chans, 3, padding=1)
+            else:
+                self.upsample = nn.Sequential(
+                    nn.Conv2d(dim, in_chans * scale**2, 3, padding=1),
+                    nn.PixelShuffle(scale))
+
+        def forward(self, x):
+            mean = 0.5 if in_chans == 3 else 0.0
+            x = (x - mean) * img_range
+            feat = self.conv_first(x).permute(0, 2, 3, 1)
+            h = feat
+            if patch_norm:
+                h = self.patch_embed["norm"](h)
+            for layer in self.layers:
+                res = h
+                for blk in layer["residual_group"]["blocks"]:
+                    h = blk(h)
+                h = layer.conv(h.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+                h = h + res
+            h = self.norm(h)
+            h = self.conv_after_body(
+                h.permute(0, 3, 1, 2)).permute(0, 2, 3, 1) + feat
+            h = h.permute(0, 3, 1, 2)
+            if upsampler == "pixelshuffle":
+                h = F.leaky_relu(self.conv_before_upsample[0](h), 0.01)
+                out = self.conv_last(self.upsample(h))
+            else:
+                out = self.upsample(h)
+            return out / img_range + mean
+
+    return HitSrfMirror()
+
+
 _MIRRORS = {
     "compact": _compact_mirror,
     "span": _span_mirror,
@@ -2120,6 +2314,7 @@ _MIRRORS = {
     "light_safmnpp": _light_safmnpp_mirror,
     "srformer": _srformer_mirror,
     "msdan": _msdan_mirror,
+    "hit_srf": _hitsrf_mirror,
 }
 
 

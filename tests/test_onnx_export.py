@@ -53,6 +53,8 @@ CASES = [
                   "upsampler": "pixelshuffle"}, 4),
     ("msdan", {"channels": 16, "num_DFEB": 2}, 4),
     ("msdan", {"channels": 16, "num_DFEB": 2}, 3),
+    ("hit_srf", {"embed_dim": 20, "depths": [2], "num_heads": [2],
+                 "base_win_size": [4, 4], "mlp_ratio": 1.0}, 4),
 ]
 
 
