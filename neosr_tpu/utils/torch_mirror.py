@@ -2296,6 +2296,168 @@ def _hitsrf_mirror(opt: dict[str, Any], scale: int):
     return HitSrfMirror()
 
 
+def _grformer_mirror(opt: dict[str, Any], scale: int):
+    """Torch mirror of our flax GRFormer (archs/grformer.py): grouped
+    residual q/k/v, cosine attention with clamped logit scale, ESRPB
+    (16*sigmoid) bias MLP, rect windows, post-norm, dual-dw FFN."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from neosr_tpu.archs.dat import rect_shift_mask
+    from neosr_tpu.archs.grformer import _esrpb_tables
+
+    dim = opt.get("embed_dim", 60)
+    depths = list(opt.get("depths", (6, 6, 6, 6)))
+    heads = list(opt.get("num_heads", (3,) * len(depths)))
+    wsz = tuple(opt.get("window_size", (8, 32)))
+    mlp_ratio = opt.get("mlp_ratio", 2.0)
+    img_range = opt.get("img_range", 1.0)
+    in_chans = opt.get("in_chans", 3)
+
+    class GRSAM(nn.Module):
+        def __init__(self, n_heads: int) -> None:
+            super().__init__()
+            half = dim // 2
+            self.n_heads = n_heads
+            for nm in ("q1", "q2", "k1", "k2", "v1", "v2"):
+                setattr(self, nm, nn.Linear(half, half))
+            self.logit_scale = nn.Parameter(
+                torch.full((n_heads, 1, 1), float(np.log(10.0))))
+            self.ESRPB_MLP = nn.Sequential(
+                nn.Linear(2, 128), nn.Identity(), nn.Linear(128, n_heads, bias=False))
+            self.proj1 = nn.Linear(half, half)
+            self.proj2 = nn.Linear(half, half)
+            table, idx = _esrpb_tables(*wsz)
+            self.register_buffer("table", torch.from_numpy(table.copy()),
+                                 persistent=False)
+            self.register_buffer("rpi", torch.from_numpy(idx.copy()).long(),
+                                 persistent=False)
+
+        def forward(self, xw, mask):
+            b_, n, c = xw.shape
+            half = c // 2
+            d = c // self.n_heads
+
+            def grl(l1, l2, t):
+                a = t[..., :half] + l1(t[..., :half])
+                b2 = t[..., half:] + l2(t[..., half:])
+                return torch.stack([a, b2], dim=2).reshape(b_, n, c)
+
+            def split_heads(t):
+                return t.view(b_, n, self.n_heads, d).permute(0, 2, 1, 3)
+
+            q = split_heads(grl(self.q1, self.q2, xw))
+            k = split_heads(grl(self.k1, self.k2, xw))
+            v = split_heads(grl(self.v1, self.v2, xw))
+            q = q / (q.norm(dim=-1, keepdim=True) + 1e-12)
+            k = k / (k.norm(dim=-1, keepdim=True) + 1e-12)
+            attn = q @ k.transpose(-2, -1)
+            attn = attn * torch.exp(torch.clamp_max(
+                self.logit_scale, float(np.log(1.0 / 0.01))))
+            h1 = F.relu(self.ESRPB_MLP[0](self.table))
+            bias_tab = self.ESRPB_MLP[2](h1)
+            bias = bias_tab[self.rpi.view(-1)].view(n, n, self.n_heads)
+            attn = attn + 16.0 * torch.sigmoid(bias.permute(2, 0, 1))[None]
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.view(b_ // nw, nw, self.n_heads, n, n)
+                attn = attn + mask[None, :, None]
+                attn = attn.view(b_, self.n_heads, n, n)
+            attn = torch.softmax(attn, dim=-1)
+            out = (attn @ v).transpose(1, 2).reshape(b_, n, c)
+            o = torch.stack([self.proj1(out[..., :half]),
+                             self.proj2(out[..., half:])], dim=2)
+            return o.reshape(b_, n, c)
+
+    class BlockM(nn.Module):
+        def __init__(self, n_heads: int, shift: tuple[int, int]) -> None:
+            super().__init__()
+            self.shift = shift
+            self.attn = GRSAM(n_heads)
+            self.norm1 = nn.LayerNorm(dim, eps=1e-5)
+            self.norm2 = nn.LayerNorm(dim, eps=1e-5)
+            hidden = int(dim * mlp_ratio)
+            self.mlp = nn.ModuleDict({
+                "fc1": nn.Linear(dim, hidden), "fc2": nn.Linear(hidden, dim),
+                "dwconv": nn.ModuleDict({"depthwise_conv": nn.Sequential(
+                    nn.Conv2d(hidden, hidden, 3, padding=1, groups=hidden),
+                    nn.Identity(),
+                    nn.Conv2d(hidden, hidden, 3, padding=1, groups=hidden))})})
+
+        def forward(self, x):
+            b, h, w, c = x.shape
+            hs, ws = wsz
+            sh, sw = self.shift
+            if h < hs or w < ws:
+                hs, ws = min(h, hs), min(w, ws)
+                sh = sw = 0
+            shortcut = x
+            if sh > 0:
+                xs = torch.roll(x, (-sh, -sw), dims=(1, 2))
+                mask = torch.from_numpy(
+                    rect_shift_mask(h, w, hs, ws, sh, sw).copy()).to(x.dtype)
+            else:
+                xs, mask = x, None
+            xw = xs.view(b, h // hs, hs, w // ws, ws, c)
+            xw = xw.permute(0, 1, 3, 2, 4, 5).reshape(-1, hs * ws, c)
+            xw = self.attn(xw, mask)
+            xs = xw.view(b, h // hs, w // ws, hs, ws, c)
+            xs = xs.permute(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+            if sh > 0:
+                xs = torch.roll(xs, (sh, sw), dims=(1, 2))
+            x = shortcut + self.norm1(xs)
+            y = F.gelu(self.mlp["fc1"](x))
+            seq = self.mlp["dwconv"]["depthwise_conv"]
+            dw = seq[0](y.permute(0, 3, 1, 2))
+            dw = seq[2](F.gelu(dw)).permute(0, 2, 3, 1)
+            y = self.mlp["fc2"](y + dw)
+            return x + self.norm2(y)
+
+    class GRFormerMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.conv_first = nn.Conv2d(in_chans, dim, 3, padding=1)
+            groups = []
+            for gi, depth in enumerate(depths):
+                blocks = nn.ModuleList(
+                    BlockM(heads[gi],
+                           (0, 0) if i % 2 == 0 else (wsz[0] // 2, wsz[1] // 2))
+                    for i in range(depth))
+                g = nn.ModuleDict({"blocks": blocks})
+                g.conv = nn.Conv2d(dim, dim, 3, padding=1)
+                groups.append(g)
+            self.layers = nn.ModuleList(groups)
+            self.norm = nn.LayerNorm(dim, eps=1e-5)
+            self.conv_after_body = nn.Conv2d(dim, dim, 3, padding=1)
+            self.upsample = nn.Sequential(
+                nn.Conv2d(dim, in_chans * scale**2, 3, padding=1),
+                nn.PixelShuffle(scale))
+
+        def forward(self, x):
+            mean = 0.5 if in_chans == 3 else 0.0
+            b, _, H0, W0 = x.shape
+            ms = max(wsz)
+            ph, pw = (-int(H0)) % ms, (-int(W0)) % ms
+            if ph or pw:
+                x = F.pad(x, (0, pw, 0, ph), mode="reflect")
+            x = (x - mean) * img_range
+            feat = self.conv_first(x).permute(0, 2, 3, 1)
+            h = feat
+            for layer in self.layers:
+                for blk in layer["blocks"]:
+                    h = blk(h)
+                h = h + layer.conv(h.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            h = self.norm(h)
+            h = self.conv_after_body(
+                h.permute(0, 3, 1, 2)).permute(0, 2, 3, 1) + feat
+            out = self.upsample(h.permute(0, 3, 1, 2))
+            out = out / img_range + mean
+            return out[:, :, : H0 * scale, : W0 * scale]
+
+    return GRFormerMirror()
+
+
 _MIRRORS = {
     "compact": _compact_mirror,
     "span": _span_mirror,
@@ -2315,6 +2477,7 @@ _MIRRORS = {
     "srformer": _srformer_mirror,
     "msdan": _msdan_mirror,
     "hit_srf": _hitsrf_mirror,
+    "grformer": _grformer_mirror,
 }
 
 

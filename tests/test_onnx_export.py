@@ -55,6 +55,8 @@ CASES = [
     ("msdan", {"channels": 16, "num_DFEB": 2}, 3),
     ("hit_srf", {"embed_dim": 20, "depths": [2], "num_heads": [2],
                  "base_win_size": [4, 4], "mlp_ratio": 1.0}, 4),
+    ("grformer", {"embed_dim": 16, "depths": [2], "num_heads": [2],
+                  "window_size": [4, 8], "mlp_ratio": 1.0}, 4),
 ]
 
 
