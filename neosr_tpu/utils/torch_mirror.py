@@ -2458,6 +2458,262 @@ def _grformer_mirror(opt: dict[str, Any], scale: int):
     return GRFormerMirror()
 
 
+def _rgt_mirror(opt: dict[str, Any], scale: int):
+    """Torch mirror of our flax RGT (archs/rgt.py): alternating L_SA (dual
+    rect windows + DynamicPosBias + LePE) and RG_SA (recursive shared-conv
+    4x reduction, eval-rule depth), SGFN, HAI gamma."""
+    import math as _math
+
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from neosr_tpu.archs.dat import rect_rel_coords, rect_shift_mask
+
+    dim = opt.get("embed_dim", 180)
+    depth = list(opt.get("depth", (6,) * 8))
+    heads = list(opt.get("num_heads", (6,) * len(depth)))
+    mlp_ratio = opt.get("mlp_ratio", 2.0)
+    qkv_bias = opt.get("qkv_bias", True)
+    split = tuple(opt.get("split_size", (8, 32)))
+    c_ratio = opt.get("c_ratio", 0.5)
+    img_range = opt.get("img_range", 1.0)
+    in_chans = opt.get("in_chans", 3)
+    num_feat = 64
+
+    class DPB(nn.Module):
+        def __init__(self, branch_dim: int, n_heads: int) -> None:
+            super().__init__()
+            pd = max(branch_dim // 16, 1)
+            self.pos_proj = nn.Linear(2, pd)
+            self.pos1 = nn.Sequential(nn.LayerNorm(pd), nn.Identity(),
+                                      nn.Linear(pd, pd))
+            self.pos2 = nn.Sequential(nn.LayerNorm(pd), nn.Identity(),
+                                      nn.Linear(pd, pd))
+            self.pos3 = nn.Sequential(nn.LayerNorm(pd), nn.Identity(),
+                                      nn.Linear(pd, n_heads))
+
+        def forward(self, b):
+            h = self.pos_proj(b)
+            for seq in (self.pos1, self.pos2, self.pos3):
+                h = seq[2](F.relu(seq[0](h)))
+            return h
+
+    class Branch(nn.Module):  # SpatialAttentionBranch
+        def __init__(self, bdim: int, hs: int, ws: int, n_heads: int) -> None:
+            super().__init__()
+            self.bdim, self.hs, self.ws, self.n_heads = bdim, hs, ws, n_heads
+            self.pos = DPB(bdim, n_heads)
+            biases, idx = rect_rel_coords(hs, ws)
+            self.register_buffer("biases", torch.from_numpy(biases.copy()),
+                                 persistent=False)
+            self.register_buffer("rpi", torch.from_numpy(idx.copy()).long(),
+                                 persistent=False)
+
+        def forward(self, qkv_sp, mask):
+            b, h, w, _ = qkv_sp.shape
+            hs, ws, nh = self.hs, self.ws, self.n_heads
+            d = self.bdim // nh
+            win = qkv_sp.view(b, h // hs, hs, w // ws, ws, 3 * self.bdim)
+            win = win.permute(0, 1, 3, 2, 4, 5).reshape(-1, hs * ws, 3 * self.bdim)
+            b_, n, _ = win.shape
+            qkv = win.view(b_, n, 3, nh, d).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            pos = self.pos(self.biases)
+            bias = pos[self.rpi.view(-1)].view(n, n, nh).permute(2, 0, 1)
+            attn = (q * d**-0.5) @ k.transpose(-2, -1) + bias[None]
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.view(b_ // nw, nw, nh, n, n)
+                attn = attn + mask[None, :, None]
+                attn = attn.view(b_, nh, n, n)
+            attn = torch.softmax(attn, dim=-1)
+            out = (attn @ v).transpose(1, 2).reshape(b_, n, self.bdim)
+            out = out.view(b, h // hs, w // ws, hs, ws, self.bdim)
+            return out.permute(0, 1, 3, 2, 4, 5).reshape(b, h, w, self.bdim)
+
+    class LSAM(nn.Module):
+        def __init__(self, n_heads: int, shift: bool) -> None:
+            super().__init__()
+            self.shift = shift
+            self.n_heads = n_heads
+            self.qkv = nn.Linear(dim, dim * 3, bias=qkv_bias)
+            self.attns = nn.ModuleList([
+                Branch(dim // 2, split[0], split[1], n_heads // 2),
+                Branch(dim // 2, split[1], split[0], n_heads // 2)])
+            self.get_v = nn.Conv2d(dim, dim, 3, padding=1, groups=dim)
+            self.proj = nn.Linear(dim, dim)
+
+        def forward(self, x):  # BHWC
+            b, h, w, c = x.shape
+            s0, s1 = split
+            sh, sw = s0 // 2, s1 // 2
+            qkv = self.qkv(x)
+            v_img = qkv[..., 2 * c:]
+            ms = max(s0, s1)
+            pad_b, pad_r = (-h) % ms, (-w) % ms
+            qkv_p = F.pad(qkv.permute(0, 3, 1, 2), (0, pad_r, 0, pad_b))
+            qkv_p = qkv_p.permute(0, 2, 3, 1)
+            hp, wp = h + pad_b, w + pad_r
+            half = c // 2
+
+            def split_qkv(t, lo, hi):
+                return torch.cat([t[..., lo:hi], t[..., c + lo: c + hi],
+                                  t[..., 2 * c + lo: 2 * c + hi]], dim=-1)
+
+            qkv0 = split_qkv(qkv_p, 0, half)
+            qkv1 = split_qkv(qkv_p, half, c)
+            if self.shift and min(hp, wp) > ms:
+                qkv0 = torch.roll(qkv0, (-sh, -sw), dims=(1, 2))
+                qkv1 = torch.roll(qkv1, (-sw, -sh), dims=(1, 2))
+                m0 = torch.from_numpy(
+                    rect_shift_mask(hp, wp, s0, s1, sh, sw).copy()).to(x.dtype)
+                m1 = torch.from_numpy(
+                    rect_shift_mask(hp, wp, s1, s0, sw, sh).copy()).to(x.dtype)
+                x0 = self.attns[0](qkv0, m0)
+                x1 = self.attns[1](qkv1, m1)
+                x0 = torch.roll(x0, (sh, sw), dims=(1, 2))
+                x1 = torch.roll(x1, (sw, sh), dims=(1, 2))
+            else:
+                x0 = self.attns[0](qkv0, None)
+                x1 = self.attns[1](qkv1, None)
+            att = torch.cat([x0, x1], dim=-1)[:, :h, :w, :]
+            lcm = self.get_v(v_img.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            return self.proj(att + lcm)
+
+    class RGSAM(nn.Module):
+        def __init__(self, n_heads: int) -> None:
+            super().__init__()
+            self.n_heads = n_heads
+            cr = int(dim * c_ratio)
+            self.cr = cr
+            self.reduction1 = nn.Conv2d(dim, dim, 4, stride=4, groups=dim)
+            self.dwconv = nn.Conv2d(dim, dim, 3, padding=1, groups=dim)
+            self.conv = nn.Conv2d(dim, cr, 1)
+            self.norm_act = nn.Sequential(nn.LayerNorm(cr), nn.Identity())
+            self.q = nn.Linear(dim, cr, bias=qkv_bias)
+            self.k = nn.Linear(cr, cr, bias=qkv_bias)
+            self.v = nn.Linear(cr, dim, bias=qkv_bias)
+            self.cpe = nn.Conv2d(dim, dim, 3, padding=1, groups=dim)
+            self.proj = nn.Linear(dim, dim)
+
+        def forward(self, x):  # BHWC, eval-rule recursion depth
+            b, h, w, c = x.shape
+            cr = self.cr
+            nh = self.n_heads
+            d_cr, d = cr // nh, c // nh
+            scl = (d * c_ratio) ** -0.5
+            _time = max(int(_math.log(max(h // 16, 1), 4)),
+                        int(_math.log(max(w // 16, 1), 4)), 2)
+            red = x.permute(0, 3, 1, 2)
+            for _ in range(_time):
+                if min(red.shape[2], red.shape[3]) < 4:
+                    break
+                red = self.reduction1(red)
+            red = self.conv(self.dwconv(red))
+            hr, wr = red.shape[2], red.shape[3]
+            red_tokens = red.permute(0, 2, 3, 1).reshape(b, hr * wr, cr)
+            red_tokens = F.gelu(self.norm_act[0](red_tokens))
+            n = h * w
+            tokens = x.reshape(b, n, c)
+            q = self.q(tokens).view(b, n, nh, d_cr).permute(0, 2, 1, 3)
+            k = self.k(red_tokens).view(b, -1, nh, d_cr).permute(0, 2, 1, 3)
+            v = self.v(red_tokens).view(b, -1, nh, d).permute(0, 2, 1, 3)
+            attn = torch.softmax((q * scl) @ k.transpose(-2, -1), dim=-1)
+            v_img = v.transpose(1, 2).reshape(b, hr, wr, c).permute(0, 3, 1, 2)
+            cpe = self.cpe(v_img).permute(0, 2, 3, 1)
+            v = v + cpe.reshape(b, -1, nh, d).permute(0, 2, 1, 3)
+            out = (attn @ v).transpose(1, 2).reshape(b, h, w, c)
+            return self.proj(out)
+
+    class SGFNM(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            hidden = int(dim * mlp_ratio)
+            self.fc1 = nn.Linear(dim, hidden)
+            self.sg = nn.ModuleDict({})
+            self.sg.norm = nn.LayerNorm(hidden // 2)
+            self.sg.conv = nn.Conv2d(hidden // 2, hidden // 2, 3, padding=1,
+                                     groups=hidden // 2)
+            self.fc2 = nn.Linear(hidden // 2, dim)
+
+        def forward(self, x):  # BHWC
+            h = F.gelu(self.fc1(x))
+            x1, x2 = torch.chunk(h, 2, dim=-1)
+            x2 = self.sg.norm(x2)
+            x2 = self.sg.conv(x2.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            return self.fc2(x1 * x2)
+
+    class BlockM(nn.Module):
+        def __init__(self, n_heads: int, rg: int, bi: int) -> None:
+            super().__init__()
+            self.norm1 = nn.LayerNorm(dim, eps=1e-5)
+            self.norm2 = nn.LayerNorm(dim, eps=1e-5)
+            if bi % 2 == 0:
+                shift = (rg % 2 == 0 and bi > 0 and (bi - 2) % 4 == 0) or (
+                    rg % 2 != 0 and bi % 4 == 0)
+                self.attn = LSAM(n_heads, shift)
+            else:
+                self.attn = RGSAM(n_heads)
+            self.mlp = SGFNM()
+            self.gamma = nn.Parameter(torch.full((dim,), 1e-4))
+
+        def forward(self, x):
+            res = x
+            x = x + self.attn(self.norm1(x))
+            x = x + self.mlp(self.norm2(x))
+            return x + res * self.gamma
+
+    class RGTMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.conv_first = nn.Conv2d(in_chans, dim, 3, padding=1)
+            self.before_RG = nn.Sequential(
+                nn.Identity(), nn.LayerNorm(dim, eps=1e-5))
+            groups = []
+            for rg, dep in enumerate(depth):
+                g = nn.ModuleDict({"blocks": nn.ModuleList(
+                    BlockM(heads[rg], rg, i) for i in range(dep))})
+                g.conv = nn.Conv2d(dim, dim, 3, padding=1)
+                groups.append(g)
+            self.layers = nn.ModuleList(groups)
+            self.norm = nn.LayerNorm(dim, eps=1e-5)
+            self.conv_after_body = nn.Conv2d(dim, dim, 3, padding=1)
+            self.conv_before_upsample = nn.Sequential(
+                nn.Conv2d(dim, num_feat, 3, padding=1))
+            ups: list[nn.Module] = []
+            s = scale
+            while s % 2 == 0 and s > 1:
+                ups += [nn.Conv2d(num_feat, 4 * num_feat, 3, padding=1),
+                        nn.PixelShuffle(2)]
+                s //= 2
+            if s == 3:
+                ups += [nn.Conv2d(num_feat, 9 * num_feat, 3, padding=1),
+                        nn.PixelShuffle(3)]
+            self.upsample = nn.Sequential(*ups)
+            self.conv_last = nn.Conv2d(num_feat, in_chans, 3, padding=1)
+
+        def forward(self, x):
+            mean = 0.5 if in_chans == 3 else 0.0
+            x = (x - mean) * img_range
+            feat = self.conv_first(x).permute(0, 2, 3, 1)
+            h = self.before_RG[1](feat)
+            for layer in self.layers:
+                res = h
+                for blk in layer["blocks"]:
+                    h = blk(h)
+                h = layer.conv(h.permute(0, 3, 1, 2)).permute(0, 2, 3, 1) + res
+            h = self.norm(h)
+            h = self.conv_after_body(
+                h.permute(0, 3, 1, 2)).permute(0, 2, 3, 1) + feat
+            h = h.permute(0, 3, 1, 2)
+            h = F.leaky_relu(self.conv_before_upsample[0](h), 0.01)
+            out = self.conv_last(self.upsample(h))
+            return out / img_range + mean
+
+    return RGTMirror()
+
+
 _MIRRORS = {
     "compact": _compact_mirror,
     "span": _span_mirror,
@@ -2478,6 +2734,7 @@ _MIRRORS = {
     "msdan": _msdan_mirror,
     "hit_srf": _hitsrf_mirror,
     "grformer": _grformer_mirror,
+    "rgt": _rgt_mirror,
 }
 
 

@@ -57,6 +57,9 @@ CASES = [
                  "base_win_size": [4, 4], "mlp_ratio": 1.0}, 4),
     ("grformer", {"embed_dim": 16, "depths": [2], "num_heads": [2],
                   "window_size": [4, 8], "mlp_ratio": 1.0}, 4),
+    ("rgt", {"embed_dim": 32, "depth": [2], "num_heads": [4],
+             "split_size": [4, 8], "mlp_ratio": 1.0, "c_ratio": 0.5,
+             "drop_path_rate": 0.0}, 4),
 ]
 
 
@@ -77,8 +80,11 @@ def test_mirror_parity_and_onnx(arch, opt, scale, tmp_path):
     mirror = build_torch_mirror(arch, opt, scale, params)
     with torch.inference_mode():
         got = mirror(torch.from_numpy(x.transpose(0, 3, 1, 2).copy())).numpy()
+    # rgt's recursive reduction + long-range attention accumulate a bit
+    # more fp32 noise than the window transformers
+    atol = 3e-4 if arch == "rgt" else 1e-5
     np.testing.assert_allclose(got.transpose(0, 2, 3, 1), want,
-                               rtol=1e-4, atol=1e-5)
+                               rtol=1e-4, atol=atol)
 
     path = tmp_path / f"{arch}_{scale}.onnx"
     export_onnx(mirror, path, shape_hw=(24, 24), dynamic=True)
