@@ -2714,6 +2714,270 @@ def _rgt_mirror(opt: dict[str, Any], scale: int):
     return RGTMirror()
 
 
+def _omnisr_mirror(opt: dict[str, Any], scale: int):
+    """Torch mirror of our flax OmniSR (archs/omnisr.py): MBConv + block/
+    grid window attention (Embedding rel bias) + gated conv FFN + block/
+    grid channel attention + ESA, zero-pad to window multiples."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from neosr_tpu.archs.omnisr import _rel_idx
+
+    dim = opt.get("num_feat", 64)
+    res_num = opt.get("res_num", 5)
+    block_num = opt.get("block_num", 1)
+    win = opt.get("window_size", 8)
+    with_pe = opt.get("pe", True)
+    in_ch = opt.get("num_in_ch", 3)
+    out_ch = opt.get("num_out_ch", 3)
+
+    class MBConvM(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            fn = nn.Module()
+            fn.add_module("0", nn.Conv2d(dim, dim, 1))
+            fn.add_module("2", nn.Conv2d(dim, dim, 3, padding=1, groups=dim))
+            gate_holder = nn.Module()
+            gate = nn.Module()
+            gate.add_module("1", nn.Linear(dim, dim // 4, bias=False))
+            gate.add_module("3", nn.Linear(dim // 4, dim, bias=False))
+            gate_holder.gate = gate
+            fn.add_module("4", gate_holder)
+            fn.add_module("5", nn.Conv2d(dim, dim, 1))
+            self.fn = fn
+
+        def forward(self, x):  # BHWC
+            h = x.permute(0, 3, 1, 2)
+            h = F.gelu(getattr(self.fn, "0")(h))
+            h = F.gelu(getattr(self.fn, "2")(h))
+            g = h.mean(dim=(2, 3))
+            gate = getattr(self.fn, "4").gate
+            g = torch.sigmoid(getattr(gate, "3")(
+                F.silu(getattr(gate, "1")(g))))
+            h = h * g[:, :, None, None]
+            h = getattr(self.fn, "5")(h).permute(0, 2, 3, 1)
+            return h + x
+
+    class AttnM(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            heads = 4
+            fn = nn.Module()
+            fn.to_qkv = nn.Linear(dim, dim * 3, bias=False)
+            out_holder = nn.Module()
+            out_holder.add_module("0", nn.Linear(dim, dim, bias=False))
+            fn.to_out = out_holder
+            if with_pe:
+                fn.rel_pos_bias = nn.Embedding((2 * win - 1) ** 2, heads)
+            self.fn = fn
+            self.register_buffer(
+                "rpi", torch.from_numpy(_rel_idx(win).copy()).long(),
+                persistent=False)
+
+        def forward(self, xw):  # (B', n, c) pre-normed
+            b_, n, c = xw.shape
+            heads = 4
+            d = dim // 4
+            qkv = self.fn.to_qkv(xw).view(b_, n, 3, heads, d).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = (q * d**-0.5) @ k.transpose(-2, -1)
+            if with_pe:
+                bias = self.fn.rel_pos_bias.weight[self.rpi.view(-1)]
+                attn = attn + bias.view(n, n, heads).permute(2, 0, 1)[None]
+            attn = torch.softmax(attn, dim=-1)
+            out = (attn @ v).transpose(1, 2).reshape(b_, n, c)
+            return getattr(self.fn.to_out, "0")(out)
+
+    class FFNM(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            fn = nn.Module()
+            fn.project_in = nn.Conv2d(dim, dim * 2, 1, bias=False)
+            fn.dwconv = nn.Conv2d(dim * 2, dim * 2, 3, padding=1,
+                                  groups=dim * 2, bias=False)
+            fn.project_out = nn.Conv2d(dim, dim, 1, bias=False)
+            self.fn = fn
+
+        def forward(self, x):  # BHWC
+            h = self.fn.dwconv(self.fn.project_in(x.permute(0, 3, 1, 2)))
+            x1, x2 = torch.chunk(h, 2, dim=1)
+            return self.fn.project_out(F.gelu(x1) * x2).permute(0, 2, 3, 1)
+
+    class ChanM(nn.Module):
+        def __init__(self, grid: bool) -> None:
+            super().__init__()
+            self.grid = grid
+            fn = nn.Module()
+            fn.temperature = nn.Parameter(torch.ones(4, 1, 1))
+            fn.qkv = nn.Conv2d(dim, dim * 3, 1, bias=False)
+            fn.qkv_dwconv = nn.Conv2d(dim * 3, dim * 3, 3, padding=1,
+                                      groups=dim * 3, bias=False)
+            fn.project_out = nn.Conv2d(dim, dim, 1, bias=False)
+            self.fn = fn
+
+        def forward(self, x):  # BHWC
+            b, h, w, c = x.shape
+            ps = win
+            heads = 4
+            d = c // heads
+            qkv = self.fn.qkv_dwconv(self.fn.qkv(x.permute(0, 3, 1, 2)))
+            qkv = qkv.permute(0, 2, 3, 1)  # BHW(3c)
+            t = qkv.view(b, h // ps, ps, w // ps, ps, 3, heads, d)
+            if self.grid:
+                t = t.permute(5, 0, 2, 4, 6, 7, 1, 3)
+                t = t.reshape(3, b * ps * ps, heads, d, -1)
+            else:
+                t = t.permute(5, 0, 1, 3, 6, 7, 2, 4)
+                t = t.reshape(3, b * (h // ps) * (w // ps), heads, d, -1)
+            q, k, v = t[0], t[1], t[2]
+            q = q / (q.norm(dim=-1, keepdim=True) + 1e-12)
+            k = k / (k.norm(dim=-1, keepdim=True) + 1e-12)
+            attn = torch.softmax(
+                (q @ k.transpose(-2, -1)) * self.fn.temperature, dim=-1)
+            out = attn @ v
+            if self.grid:
+                out = out.reshape(b, ps, ps, heads, d, h // ps, w // ps)
+                out = out.permute(0, 5, 1, 6, 2, 3, 4)
+            else:
+                out = out.reshape(b, h // ps, w // ps, heads, d, ps, ps)
+                out = out.permute(0, 1, 5, 2, 6, 3, 4)
+            out = out.reshape(b, h, w, c)
+            return self.fn.project_out(
+                out.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+
+    class ESAM(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            f = max(dim // 4, 16)
+            self.f = f
+            self.conv1 = nn.Conv2d(dim, f, 1)
+            self.conv2 = nn.Conv2d(f, f, 3, stride=2)
+            self.conv3 = nn.Conv2d(f, f, 3, padding=1)
+            self.conv_f = nn.Conv2d(f, f, 1)
+            self.conv4 = nn.Conv2d(f, dim, 1)
+
+        def forward(self, x):  # BHWC
+            xc = x.permute(0, 3, 1, 2)
+            c1_ = self.conv1(xc)
+            c1 = self.conv2(c1_)
+            v_max = F.max_pool2d(c1, kernel_size=7, stride=3)
+            c3 = self.conv3(v_max)
+            c3 = F.interpolate(c3, size=(int(xc.shape[2]), int(xc.shape[3])),
+                               mode="bilinear", align_corners=False)
+            cf = self.conv_f(c1_)
+            c4 = self.conv4(c3 + cf)
+            return x * torch.sigmoid(c4.permute(0, 2, 3, 1))
+
+    class OSABlockLayer(nn.Module):
+        """Indexed container matching reference `layer` Sequential names."""
+
+        def __init__(self) -> None:
+            super().__init__()
+            self.add_module("0", MBConvM())
+            # impls kept in a plain dict so only their `fn` submodule is
+            # registered (under the reference's `{i}.fn.*` key paths)
+            self.__dict__["_impls"] = {}
+            for i in (2, 4, 5, 6, 8, 10, 11, 12):
+                m = {2: AttnM, 8: AttnM, 4: FFNM, 6: FFNM, 10: FFNM,
+                     12: FFNM}.get(i)
+                mod = m() if m else ChanM(grid=(i == 11))
+                holder = nn.Module()
+                holder.norm = nn.LayerNorm(dim, eps=1e-5)
+                holder.fn = mod.fn
+                self._impls[str(i)] = mod
+                self.add_module(str(i), holder)
+
+        def forward(self, x):
+            b, hh, ww, c = x.shape
+            w = win
+
+            def blockify(t):
+                t = t.view(b, hh // w, w, ww // w, w, c)
+                return t.permute(0, 1, 3, 2, 4, 5).reshape(-1, w * w, c)
+
+            def unblock(t):
+                t = t.view(b, hh // w, ww // w, w, w, c)
+                return t.permute(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, c)
+
+            def gridify(t):
+                t = t.view(b, w, hh // w, w, ww // w, c)
+                return t.permute(0, 2, 4, 1, 3, 5).reshape(-1, w * w, c)
+
+            def ungrid(t):
+                t = t.view(b, hh // w, ww // w, w, w, c)
+                return t.permute(0, 3, 1, 4, 2, 5).reshape(b, hh, ww, c)
+
+            def mod(i):
+                holder = getattr(self, str(i))
+                return holder.norm, self._impls[str(i)]
+
+            x = getattr(self, "0")(x)
+            n2, a2 = mod(2)
+            x = x + unblock(a2(blockify(n2(x))))
+            n4, f4 = mod(4)
+            x = x + f4(n4(x))
+            n5, c5 = mod(5)
+            x = x + c5(n5(x))
+            n6, f6 = mod(6)
+            x = x + f6(n6(x))
+            n8, a8 = mod(8)
+            x = x + ungrid(a8(gridify(n8(x))))
+            n10, f10 = mod(10)
+            x = x + f10(n10(x))
+            n11, c11 = mod(11)
+            x = x + c11(n11(x))
+            n12, f12 = mod(12)
+            return x + f12(n12(x))
+
+    class OSAGM(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            rl = nn.Module()
+            for i in range(block_num):
+                layer_holder = nn.Module()
+                layer_holder.layer = OSABlockLayer()
+                rl.add_module(str(i), layer_holder)
+            rl.add_module(str(block_num), nn.Conv2d(dim, dim, 1))
+            self.residual_layer = rl
+            self.esa = ESAM()
+
+        def forward(self, x):
+            h = x
+            for i in range(block_num):
+                h = getattr(self.residual_layer, str(i)).layer(h)
+            tail = getattr(self.residual_layer, str(block_num))
+            h = tail(h.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            return self.esa(h + x)
+
+    class OmniSRMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.input = nn.Conv2d(in_ch, dim, 3, padding=1)
+            self.residual_layer = nn.ModuleList(
+                OSAGM() for _ in range(res_num))
+            self.output = nn.Conv2d(dim, dim, 3, padding=1)
+            self.up = nn.Sequential(
+                nn.Conv2d(dim, out_ch * scale**2, 3, padding=1),
+                nn.PixelShuffle(scale))
+
+        def forward(self, x):
+            b, _, H, W = x.shape
+            ph, pw = (-int(H)) % win, (-int(W)) % win
+            if ph or pw:
+                x = F.pad(x, (0, pw, 0, ph))
+            residual = self.input(x).permute(0, 2, 3, 1)
+            h = residual
+            for g in self.residual_layer:
+                h = g(h)
+            h = self.output(h.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            h = (h + residual).permute(0, 3, 1, 2)
+            out = self.up(h)
+            return out[:, :, : H * scale, : W * scale]
+
+    return OmniSRMirror()
+
+
 _MIRRORS = {
     "compact": _compact_mirror,
     "span": _span_mirror,
@@ -2735,6 +2999,7 @@ _MIRRORS = {
     "hit_srf": _hitsrf_mirror,
     "grformer": _grformer_mirror,
     "rgt": _rgt_mirror,
+    "omnisr": _omnisr_mirror,
 }
 
 

@@ -60,6 +60,8 @@ CASES = [
     ("rgt", {"embed_dim": 32, "depth": [2], "num_heads": [4],
              "split_size": [4, 8], "mlp_ratio": 1.0, "c_ratio": 0.5,
              "drop_path_rate": 0.0}, 4),
+    ("omnisr_net", {"num_feat": 16, "res_num": 2, "block_num": 1,
+                    "window_size": 8, "upsampling": 4, "pe": True}, 4),
 ]
 
 
