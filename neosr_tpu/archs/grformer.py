@@ -173,8 +173,13 @@ class grformer(nn.Module):
         w0, w1 = self.window_size[0], self.window_size[1]
         for gi, depth in enumerate(self.depths):
             for i in range(depth):
+                # every other PAIR of blocks swaps the rectangle orientation
+                # (grformer_arch.py:295-296: bi//2 % 2 == 1 -> (w1, w0));
+                # the shift stays derived from the unswapped window
+                # (grformer_arch.py:433-435)
+                win = (w0, w1) if (i // 2) % 2 == 0 else (w1, w0)
                 shift = (0, 0) if i % 2 == 0 else (w0 // 2, w1 // 2)
-                h = GRSAB(self.embed_dim, self.num_heads[gi], (w0, w1), shift,
+                h = GRSAB(self.embed_dim, self.num_heads[gi], win, shift,
                           self.mlp_ratio, self.dtype)(h)
             # group residual: conv applied to the blocks' OUTPUT and added
             # back to it (grformer_arch.py GRSAB_Group.forward)

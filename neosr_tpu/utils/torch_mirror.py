@@ -2316,7 +2316,7 @@ def _grformer_mirror(opt: dict[str, Any], scale: int):
     in_chans = opt.get("in_chans", 3)
 
     class GRSAM(nn.Module):
-        def __init__(self, n_heads: int) -> None:
+        def __init__(self, n_heads: int, win: tuple[int, int]) -> None:
             super().__init__()
             half = dim // 2
             self.n_heads = n_heads
@@ -2328,7 +2328,7 @@ def _grformer_mirror(opt: dict[str, Any], scale: int):
                 nn.Linear(2, 128), nn.Identity(), nn.Linear(128, n_heads, bias=False))
             self.proj1 = nn.Linear(half, half)
             self.proj2 = nn.Linear(half, half)
-            table, idx = _esrpb_tables(*wsz)
+            table, idx = _esrpb_tables(*win)
             self.register_buffer("table", torch.from_numpy(table.copy()),
                                  persistent=False)
             self.register_buffer("rpi", torch.from_numpy(idx.copy()).long(),
@@ -2371,10 +2371,12 @@ def _grformer_mirror(opt: dict[str, Any], scale: int):
             return o.reshape(b_, n, c)
 
     class BlockM(nn.Module):
-        def __init__(self, n_heads: int, shift: tuple[int, int]) -> None:
+        def __init__(self, n_heads: int, shift: tuple[int, int],
+                     win: tuple[int, int]) -> None:
             super().__init__()
             self.shift = shift
-            self.attn = GRSAM(n_heads)
+            self.win = win
+            self.attn = GRSAM(n_heads, win)
             self.norm1 = nn.LayerNorm(dim, eps=1e-5)
             self.norm2 = nn.LayerNorm(dim, eps=1e-5)
             hidden = int(dim * mlp_ratio)
@@ -2387,7 +2389,7 @@ def _grformer_mirror(opt: dict[str, Any], scale: int):
 
         def forward(self, x):
             b, h, w, c = x.shape
-            hs, ws = wsz
+            hs, ws = self.win
             sh, sw = self.shift
             if h < hs or w < ws:
                 hs, ws = min(h, hs), min(w, ws)
@@ -2422,7 +2424,8 @@ def _grformer_mirror(opt: dict[str, Any], scale: int):
             for gi, depth in enumerate(depths):
                 blocks = nn.ModuleList(
                     BlockM(heads[gi],
-                           (0, 0) if i % 2 == 0 else (wsz[0] // 2, wsz[1] // 2))
+                           (0, 0) if i % 2 == 0 else (wsz[0] // 2, wsz[1] // 2),
+                           wsz if (i // 2) % 2 == 0 else (wsz[1], wsz[0]))
                     for i in range(depth))
                 g = nn.ModuleDict({"blocks": blocks})
                 g.conv = nn.Conv2d(dim, dim, 3, padding=1)

@@ -219,6 +219,23 @@ def test_grformer_pth_import():
     )
 
 
+def test_grformer_depth4_window_swap_pth_import():
+    """depth >= 4 reaches the blocks with (bi//2)%2 == 1, which attend with
+    the SWAPPED rectangle orientation (grformer_arch.py:295-296) while
+    keeping the unswapped shift (grformer_arch.py:433-435)."""
+    mod = _load_ref_arch("grformer_arch")
+    m = mod.grformer(embed_dim=16, depths=[4], num_heads=[2],
+                     window_size=[4, 8], img_size=16, mlp_ratio=1,
+                     drop_path_rate=0.0).eval()
+    x = np.random.default_rng(7).random((1, 16, 16, 3)).astype(np.float32)
+    _compare(
+        m, "grformer",
+        {"embed_dim": 16, "depths": (4,), "num_heads": (2,),
+         "window_size": (4, 8), "mlp_ratio": 1},
+        _state_dict_np(m), x, atol=1e-4,
+    )
+
+
 def test_hitsrf_pth_import(x):
     mod = _load_ref_arch("hitsrf_arch")
     m = mod.hit_srf(embed_dim=16, depths=[2, 2], num_heads=[2, 2],
