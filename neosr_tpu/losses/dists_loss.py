@@ -75,11 +75,19 @@ class dists_loss:
         load_weights: bool = True,
         weights_path: str | None = None,
         vgg_weights_path: str | None = None,
+        accumulate_stages: bool = False,
         **kwargs: Any,
     ) -> None:
         logger = get_root_logger()
         self.as_loss = as_loss
         self.loss_weight = loss_weight
+        # published DISTS sums similarity over ALL VGG stages; the
+        # reference resets the accumulator per stage (dists_loss.py:148-162)
+        # so only the last stage survives.  Default replicates the
+        # reference (checkpoints/metric values transfer 1:1); set
+        # accumulate_stages=true for the paper-correct formulation
+        # (same opt-out pattern as gw_loss.fixed_kernels).
+        self.accumulate_stages = accumulate_stages
 
         self._trunk = _DISTSTrunk()
         params = self._trunk.init(jax.random.key(3), jnp.zeros((1, 64, 64, 3)))["params"]
@@ -139,13 +147,17 @@ class dists_loss:
             x_mean = f0.mean(axis=(1, 2))
             y_mean = f1.mean(axis=(1, 2))
             s1 = (2 * x_mean * y_mean + c1) / (x_mean**2 + y_mean**2 + c1)
-            dist1 = (alphas[k][None] * s1).sum(axis=1)
+            d1 = (alphas[k][None] * s1).sum(axis=1)
 
             x_var = ((f0 - x_mean[:, None, None, :]) ** 2).mean(axis=(1, 2))
             y_var = ((f1 - y_mean[:, None, None, :]) ** 2).mean(axis=(1, 2))
             xy_cov = (f0 * f1).mean(axis=(1, 2)) - x_mean * y_mean
             s2 = (2 * xy_cov + c2) / (x_var + y_var + c2)
-            dist2 = (betas[k][None] * s2).sum(axis=1)
+            d2 = (betas[k][None] * s2).sum(axis=1)
+            if self.accumulate_stages:
+                dist1, dist2 = dist1 + d1, dist2 + d2
+            else:  # reference per-stage reset: last stage wins
+                dist1, dist2 = d1, d2
 
         score = 1.0 - (dist1 + dist2)
         if self.as_loss:

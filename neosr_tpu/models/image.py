@@ -43,12 +43,10 @@ from neosr_tpu.utils.registry import MODEL_REGISTRY
 _G_LOSS_KEYS = (
     "pixel_opt",
     "mssim_opt",
-    "fdl_opt",
     "consistency_opt",
     "ldl_opt",
     "ff_opt",
     "gw_opt",
-    "kl_opt",
 )
 _PERCEPTUAL_KEYS = ("perceptual_opt", "dists_opt")
 
@@ -133,6 +131,19 @@ class image(base):
         opt = self.opt
 
         # ---- losses ------------------------------------------------------
+        # config wall: an unrecognized *_opt key under [train] is a user
+        # error (e.g. a typo'd loss name) and must fail loudly, like the
+        # reference's fixed if-chain does by simply never training that
+        # loss (reference image.py:153-221 — here we go further and error)
+        known = set(_G_LOSS_KEYS) | set(_PERCEPTUAL_KEYS) | {"gan_opt"}
+        unknown = [k for k in train_opt if k.endswith("_opt") and k not in known]
+        if unknown:
+            msg = (
+                f"{tc.red}Unknown loss option(s) in [train]: "
+                f"{', '.join(sorted(unknown))}. Supported: "
+                f"{', '.join(sorted(known))}.{tc.end}"
+            )
+            raise ValueError(msg)
         self.g_losses: dict[str, Any] = {}
         for key in _G_LOSS_KEYS + _PERCEPTUAL_KEYS:
             cfg = train_opt.get(key)
@@ -140,10 +151,7 @@ class image(base):
                 name = key.replace("_opt", "")
                 if key in _PERCEPTUAL_KEYS:
                     cfg = {**cfg, "scale": cfg.get("scale", self.scale)}
-                try:
-                    self.g_losses[f"l_g_{name}"] = build_loss(cfg)
-                except KeyError:
-                    logger.warning(f"Loss {cfg.get('type')} not yet available, skipped.")
+                self.g_losses[f"l_g_{name}"] = build_loss(cfg)
         if train_opt.get("gan_opt"):
             self.cri_gan = build_loss(train_opt["gan_opt"])
 
@@ -161,7 +169,7 @@ class image(base):
             raise ValueError(msg)
         if (
             opt.get("network_d", {}).get("type") == "ea2fpn"
-            and opt["datasets"]["train"].get("patch_size", 48) == 48
+            and opt.get("datasets", {}).get("train", {}).get("patch_size", 48) == 48
             and self.scale == 1
         ):
             # reference image.py:280-294: ea2fpn's FPN strides collapse at
@@ -765,7 +773,30 @@ class image(base):
             "params_d": host_state.params_d,
             "opt_d": host_state.opt_d,
         }
-        restored = load_pytree(resume_state["path"], target)
+        try:
+            restored = load_pytree(resume_state["path"], target)
+        except Exception:
+            # optimizer-state layout mismatch (the `fused` flag flattens
+            # moment buffers — optax.flatten — so checkpoints written with
+            # the other setting have a different tree).  Detect and convert
+            # instead of failing (ADVICE r2: resume across layout change).
+            from flax import serialization
+
+            raw = load_pytree(resume_state["path"])  # structure-free restore
+            from neosr_tpu.optimizers import adapt_opt_layout
+
+            get_root_logger().warning(
+                "Resume state layout differs from runtime (fused-optimizer "
+                "setting changed?) — converting optimizer buffers."
+            )
+            raw["opt_g"] = adapt_opt_layout(
+                raw["opt_g"], host_state.opt_g, host_state.params_g
+            )
+            if host_state.opt_d is not None and raw.get("opt_d") is not None:
+                raw["opt_d"] = adapt_opt_layout(
+                    raw["opt_d"], host_state.opt_d, host_state.params_d
+                )
+            restored = serialization.from_state_dict(target, raw)
         self.resume_epoch = int(restored["epoch"])
         self.resume_iter = int(restored["iter"])
         new_state = host_state.replace(

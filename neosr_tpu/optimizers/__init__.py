@@ -115,3 +115,86 @@ def build_optimizer(
 
 def current_lr(lr: float | optax.Schedule, step: int) -> float:
     return float(lr(step)) if callable(lr) else float(lr)
+
+
+def adapt_opt_layout(raw_sd: Any, target_state: Any, params: Any) -> Any:
+    """Convert a restored optimizer state_dict between the fused
+    (`optax.flatten`, the default — one concatenated buffer per moment)
+    and per-leaf layouts, keyed by what `target_state` expects.
+
+    `optax.flatten` stores every param-shaped moment as a single
+    ``jnp.concatenate([ravel(leaf) for leaf in tree_leaves(params)])``
+    vector, so a checkpoint written with the other `fused` setting has the
+    same namedtuple wrapper structure but array leaves where the target
+    has param dicts (or vice versa).  Both orders use `jax.tree` flatten
+    order, so the conversion is a deterministic ravel/split.
+
+    Returns a state_dict loadable into `target_state`; raises ValueError
+    on a genuinely incompatible structure.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import serialization
+
+    p_leaves = jax.tree.leaves(params)
+    sizes = [int(np.prod(p.shape)) for p in p_leaves]
+    total = int(sum(sizes))
+    p_struct = jax.tree.structure(params)
+    params_sd = serialization.to_state_dict(params)
+
+    def _fuse(node: dict) -> np.ndarray:
+        """per-leaf params-shaped state dict -> one flat vector."""
+        restored = serialization.from_state_dict(
+            jax.tree.unflatten(p_struct, p_leaves), node
+        )
+        return np.concatenate([np.ravel(x) for x in jax.tree.leaves(restored)])
+
+    def _unfuse(vec: np.ndarray) -> dict:
+        """flat vector -> per-leaf params-shaped state dict."""
+        chunks = np.split(np.asarray(vec), np.cumsum(sizes)[:-1])
+        tree = jax.tree.unflatten(
+            p_struct,
+            [c.reshape(p.shape) for c, p in zip(chunks, p_leaves, strict=True)],
+        )
+        return serialization.to_state_dict(tree)
+
+    def _is_params_like(sd_node: Any) -> bool:
+        try:
+            jax.tree.flatten(
+                serialization.from_state_dict(
+                    jax.tree.unflatten(p_struct, p_leaves), sd_node
+                )
+            )
+        except Exception:
+            return False
+        return True
+
+    def walk(tgt: Any, raw: Any) -> Any:
+        tgt_is_dict = isinstance(tgt, dict)
+        raw_is_dict = isinstance(raw, dict)
+        if tgt_is_dict and raw_is_dict:
+            if set(tgt) == set(raw):
+                return {k: walk(tgt[k], raw[k]) for k in tgt}
+            if _is_params_like(tgt) and _is_params_like(raw):
+                return raw  # param-keyed region with renamed leaves: let
+                # from_state_dict surface the precise error
+            msg = (
+                f"optimizer state keys mismatch: checkpoint {sorted(raw)} "
+                f"vs runtime {sorted(tgt)}"
+            )
+            raise ValueError(msg)
+        if tgt_is_dict and not raw_is_dict:
+            if getattr(raw, "size", None) == total and _is_params_like(tgt):
+                return _unfuse(raw)
+            msg = "optimizer checkpoint has a fused buffer of unexpected size"
+            raise ValueError(msg)
+        if not tgt_is_dict and raw_is_dict:
+            if int(np.prod(np.shape(tgt))) == total:
+                return _fuse(raw)
+            msg = "optimizer checkpoint is per-leaf but runtime buffer is not fused-sized"
+            raise ValueError(msg)
+        return raw
+
+    tgt_sd = serialization.to_state_dict(target_state)
+    return walk(tgt_sd, raw_sd)

@@ -279,3 +279,27 @@ def test_consistency_loss_parity(imgs):
             np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
     finally:
         tvt.GaussianBlur = real_gb
+
+
+def test_dists_accumulate_stages_flag(imgs):
+    """accumulate_stages=True restores the published cross-stage DISTS sum;
+    the default replicates the reference's per-stage reset (last stage
+    wins, reference dists_loss.py:148-162)."""
+    import jax.numpy as jnp
+
+    from neosr_tpu.losses.dists_loss import dists_loss
+
+    a, b = imgs
+    x = jnp.asarray(a).astype(jnp.float32)
+    y = jnp.asarray(b).astype(jnp.float32)
+    ref_mode = dists_loss(as_loss=True, load_weights=False)
+    acc_mode = dists_loss(as_loss=True, load_weights=False, accumulate_stages=True)
+    v_ref = float(ref_mode(x, y))
+    v_acc = float(acc_mode(x, y))
+    assert v_ref != v_acc  # accumulation changes the score
+    # identical inputs: accumulated mode sums normalized weights over ALL
+    # stages (= 1) so self-distance ~0; reset mode keeps only the last
+    # stage's weight share, so its self-distance is strictly positive —
+    # exactly the deviation from published DISTS the flag exists to fix
+    assert abs(float(acc_mode(x, x))) < 1e-3
+    assert float(ref_mode(x, x)) > 0.1
