@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -22,7 +23,58 @@ from neosr_tpu.archs.arch_util import (
 from neosr_tpu.utils.registry import ARCH_REGISTRY
 
 
+class _ConvParams(nn.Module):
+    """Declares nn.Conv-compatible {kernel, bias} without applying the conv
+    (same names/shapes/init as Conv2d's inner nn.Conv, so checkpoints are
+    interchangeable with the plain-module formulation)."""
+
+    features: int
+    in_features: int
+    kernel_init: Any = None
+
+    @nn.compact
+    def __call__(self):
+        kinit = self.kernel_init or nn.initializers.lecun_normal()
+        kernel = self.param(
+            "kernel", kinit, (3, 3, self.in_features, self.features), jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
+
+
+class _Conv2dParams(nn.Module):
+    features: int
+    in_features: int
+    kernel_init: Any = None
+
+    @nn.compact
+    def __call__(self):
+        return _ConvParams(
+            self.features, self.in_features, self.kernel_init, name="Conv_0"
+        )()
+
+
+def _conv3x3(x: jnp.ndarray, kernel: jnp.ndarray, dtype: Any) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 class ResidualDenseBlock(nn.Module):
+    """Dense block restructured for the MXU.
+
+    The textbook formulation (reference esrgan_arch.py:17-49) is five convs
+    whose OUTPUT widths are 32,32,32,32,64 — at most 64 of the MXU's 128
+    lanes busy (measured ~25% MFU on v5e, BENCH_NOTES round-1).  Since
+    conv(concat(p0..pk), W) == sum_j conv(p_j, W[rows of p_j]), we instead
+    run ONE conv per dense *piece* carrying that piece's contributions to
+    every later layer, concatenated along the output axis: widths become
+    4G+C, 3G+C, 2G+C, G+C, C (192..64 at defaults) and the MXU-padded cost
+    drops from sum(C_in)*pad128 = 81.9k to 36.9k lane-cycles (~2.2x).
+    Identical math and parameter tree; only fp add order differs.
+    """
+
     num_feat: int = 64
     num_grow_ch: int = 32
     dtype: Any = jnp.float32
@@ -30,15 +82,38 @@ class ResidualDenseBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         init = conv_kaiming_init(0.1)
-        x1 = lrelu(Conv2d(self.num_grow_ch, 3, dtype=self.dtype, kernel_init=init)(x))
-        x2 = lrelu(Conv2d(self.num_grow_ch, 3, dtype=self.dtype, kernel_init=init)(
-            jnp.concatenate([x, x1], axis=-1)))
-        x3 = lrelu(Conv2d(self.num_grow_ch, 3, dtype=self.dtype, kernel_init=init)(
-            jnp.concatenate([x, x1, x2], axis=-1)))
-        x4 = lrelu(Conv2d(self.num_grow_ch, 3, dtype=self.dtype, kernel_init=init)(
-            jnp.concatenate([x, x1, x2, x3], axis=-1)))
-        x5 = Conv2d(self.num_feat, 3, dtype=self.dtype, kernel_init=init)(
-            jnp.concatenate([x, x1, x2, x3, x4], axis=-1))
+        c, g = self.num_feat, self.num_grow_ch
+        ins = [c, c + g, c + 2 * g, c + 3 * g, c + 4 * g]
+        outs = [g, g, g, g, c]
+        weights, biases = zip(*(
+            _Conv2dParams(outs[k], ins[k], init, name=f"Conv2d_{k}")()
+            for k in range(5)
+        ), strict=True)
+
+        # piece j's rows inside conv k's kernel: x occupies [0,c), piece
+        # j>=1 occupies [c+(j-1)g, c+jg)
+        def rows(k_kernel, j):
+            lo = 0 if j == 0 else c + (j - 1) * g
+            return weights[k_kernel][:, :, lo : lo + (c if j == 0 else g), :]
+
+        pieces: list[jnp.ndarray] = [x]
+        # y[j] = piece_j convolved with its contributions to convs j..4
+        ys: list[jnp.ndarray] = []
+        for k in range(5):
+            j = k  # piece j first feeds conv j
+            w_cat = jnp.concatenate([rows(kk, j) for kk in range(j, 5)], axis=-1)
+            ys.append(_conv3x3(pieces[j], w_cat, self.dtype))
+            # pre-activation of conv k = sum of every earlier piece's slice
+            acc = None
+            for j2 in range(k + 1):
+                off = (k - j2) * g
+                sl = ys[j2][..., off : off + outs[k]]
+                acc = sl if acc is None else acc + sl
+            acc = acc + biases[k].astype(self.dtype)
+            if k < 4:
+                pieces.append(lrelu(acc))
+            else:
+                x5 = acc
         return x5 * 0.2 + x
 
 

@@ -375,6 +375,10 @@ class image(base):
 
         wavelet = self.wavelet_guided
         wavelet_init = self.wavelet_init
+        # ea2fpn normalizes with per-call batch statistics, so real/fake
+        # must stay separate forwards to match the reference's two torch
+        # calls; the SN discriminators have no cross-batch ops
+        batch_d = self.opt.get("network_d", {}).get("type") != "ea2fpn"
 
         def d_loss_fn(params_d, out, gt, step):
             out = jax.lax.stop_gradient(out)
@@ -389,9 +393,20 @@ class image(base):
                 real_in = jnp.where(use, hf_gt, gt)
             else:
                 fake_in, real_in = out, gt
-            real_pred = net_d.apply({"params": params_d}, real_in)
+            if batch_d:
+                # one D apply over real+fake stacked on batch: halves kernel
+                # launches and spectral-norm recomputation vs two applies
+                # (the SN discriminators have no cross-batch ops, so the
+                # math is identical)
+                pred = net_d.apply(
+                    {"params": params_d},
+                    jnp.concatenate([real_in, fake_in], axis=0),
+                )
+                real_pred, fake_pred = jnp.split(pred, 2, axis=0)
+            else:
+                real_pred = net_d.apply({"params": params_d}, real_in)
+                fake_pred = net_d.apply({"params": params_d}, fake_in)
             l_d_real = cri_gan(real_pred, True, is_disc=True).astype(jnp.float32)
-            fake_pred = net_d.apply({"params": params_d}, fake_in)
             l_d_fake = cri_gan(fake_pred, False, is_disc=True).astype(jnp.float32)
             total = l_d_real + l_d_fake
             return total, {"l_d_real": l_d_real, "l_d_fake": l_d_fake}
