@@ -30,19 +30,51 @@ def _mish(x):
 
 
 class BatchStatNorm(nn.Module):
-    """BatchNorm normalizing by current batch statistics (no running stats)."""
+    """BatchNorm with torch semantics: batch statistics + running-stat
+    update in training, running statistics in eval (torch
+    nn.BatchNorm2d; reference dat_arch.py:386-398, eimn_arch.py:204-264).
+
+    The mode is inferred from the apply call, so intermediate modules need
+    no train flag: `apply(..., mutable=["batch_stats"])` (the train step)
+    normalizes by the current batch and folds the running-stat update into
+    the returned collection; a plain `apply` (eval/inference) normalizes
+    by the stored running statistics — exactly torch `.eval()`.  Running
+    variance uses the unbiased estimator for the update and the biased one
+    for normalization, matching torch.
+    """
 
     eps: float = 1e-5
+    momentum: float = 0.1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        mean = x.mean(axis=(0, 1, 2))
-        var = x.var(axis=(0, 1, 2))
-        scale = self.param("scale", nn.initializers.ones_init(), (x.shape[-1],))
-        bias = self.param("bias", nn.initializers.zeros_init(), (x.shape[-1],))
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        use_batch = (
+            self.is_mutable_collection("batch_stats") or self.is_initializing()
+        )
+        if use_batch:
+            xf = x.astype(jnp.float32)
+            mean = xf.mean(axis=(0, 1, 2))
+            var = xf.var(axis=(0, 1, 2))
+            if not self.is_initializing():
+                n = x.shape[0] * x.shape[1] * x.shape[2]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
         inv = jax.lax.rsqrt(var + self.eps)
-        return (x - mean) * inv * scale + bias
+        return ((x - mean) * inv * scale + bias).astype(x.dtype)
 
 
 class BasicBlock(nn.Module):

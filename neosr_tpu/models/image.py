@@ -62,6 +62,10 @@ class TrainState(struct.PyTreeNode):
     nan_count: jax.Array
     sam_m: Any | None = None       # F-SAM momentum-filtered gradient EMA
     sam_t: jax.Array | None = None  # F-SAM steps taken (0 = uninitialized)
+    # BatchNorm running statistics (flax "batch_stats" collections; empty
+    # dicts for the BN-free majority of archs)
+    bstats_g: Any = None
+    bstats_d: Any = None
 
 
 def _tree_where(pred: jax.Array, a: Any, b: Any) -> Any:
@@ -97,7 +101,10 @@ class image(base):
         else:
             patch = 64
         sample = jnp.zeros((1, patch, patch, 3), jnp.float32)
-        self.params_g = jax.jit(self.net_g.init)(init_rng, sample)["params"]
+        variables = jax.jit(self.net_g.init)(init_rng, sample)
+        self.params_g = variables["params"]
+        # BN archs (dat/eimn/dctlsa/ea2fpn) carry running statistics
+        self.bstats_g = dict(variables.get("batch_stats", {}))
         n_params = sum(int(x.size) for x in jax.tree.leaves(self.params_g))
         logger.info(f"net_g parameters: {n_params:,d}")
 
@@ -117,11 +124,13 @@ class image(base):
             self.eval_params = self.params_g
 
         # jitted eval forward (shared by test/validation); uint8 inputs
-        # normalize in-graph so val batches also transfer 4x cheaper
-        def _eval_apply(params, x):
+        # normalize in-graph so val batches also transfer 4x cheaper.
+        # BN archs get their running statistics alongside the params
+        # (torch .eval() semantics — reference dat_arch.py:386-398).
+        def _eval_apply(variables, x):
             if jnp.issubdtype(x.dtype, jnp.integer):
                 x = x.astype(jnp.float32) / 255.0
-            return self.net_g.apply({"params": params}, x).astype(jnp.float32)
+            return self.net_g.apply(variables, x).astype(jnp.float32)
 
         self._apply_fn = jax.jit(_eval_apply)
 
@@ -183,15 +192,18 @@ class image(base):
 
         # ---- discriminator ----------------------------------------------
         self.params_d = None
+        self.bstats_d = {}
         if opt.get("network_d") and self.cri_gan is not None:
             self.net_d = build_network(opt["network_d"], None, self.dtype)
             logger.info(f"Network [net_d={opt['network_d']['type']}] created.")
             init_rng, self.rng = jax.random.split(self.rng)
             patch = opt["datasets"]["train"].get("patch_size", 48)
             hr = patch * self.scale
-            self.params_d = self.net_d.init(
+            variables_d = self.net_d.init(
                 init_rng, jnp.zeros((1, hr, hr, 3), jnp.float32)
-            )["params"]
+            )
+            self.params_d = variables_d["params"]
+            self.bstats_d = dict(variables_d.get("batch_stats", {}))
             load_path_d = opt.get("path", {}).get("pretrain_network_d")
             if load_path_d:
                 self.params_d = self._load_network(
@@ -266,6 +278,8 @@ class image(base):
             nan_count=jnp.zeros([], jnp.int32),
             sam_m=sam_m,
             sam_t=jnp.zeros([], jnp.int32) if self.sam else None,
+            bstats_g=self.bstats_g,
+            bstats_d=self.bstats_d,
         )
         self.state = replicate(state, self.mesh)
         # raw (un-jitted) step is kept so subclasses can fuse extra device
@@ -303,13 +317,41 @@ class image(base):
         sam_init = max(self.sam_init, 0)
         sam_rho, sam_sigma, sam_lmbda, sam_adaptive = 0.5, 1.0, 0.9, True
 
-        def apply_g(params_g, x, rng):
-            return net_g.apply(
-                {"params": params_g}, x, deterministic=False,
-                rngs={"dropout": rng},
-            ).astype(jnp.float32)
+        has_bs_g = bool(jax.tree.leaves(self.bstats_g))
+        has_bs_d = bool(jax.tree.leaves(self.bstats_d))
 
-        def g_loss_fn(params_g, params_d, lq, gt, rng, step):
+        def apply_g(params_g, bstats_g, x, rng, update_stats=False):
+            """Train-mode G forward; returns (out, new_batch_stats).
+            BN archs normalize by batch statistics here (torch train mode)
+            and fold the running-stat update into the step's state."""
+            if has_bs_g:
+                out, mut = net_g.apply(
+                    {"params": params_g, "batch_stats": bstats_g}, x,
+                    deterministic=False, rngs={"dropout": rng},
+                    mutable=["batch_stats"],
+                )
+                return (
+                    out.astype(jnp.float32),
+                    mut["batch_stats"] if update_stats else bstats_g,
+                )
+            return (
+                net_g.apply(
+                    {"params": params_g}, x, deterministic=False,
+                    rngs={"dropout": rng},
+                ).astype(jnp.float32),
+                bstats_g,
+            )
+
+        def apply_d(params_d, bstats_d, x, update_stats=False):
+            if has_bs_d:
+                out, mut = net_d.apply(
+                    {"params": params_d, "batch_stats": bstats_d}, x,
+                    mutable=["batch_stats"],
+                )
+                return out, mut["batch_stats"] if update_stats else bstats_d
+            return net_d.apply({"params": params_d}, x), bstats_d
+
+        def g_loss_fn(params_g, params_d, lq, gt, rng, step, bstats_g, bstats_d):
             # --- ECO centroid inputs (reference image.py:393-425, 441-448)
             if eco:
                 sf = step.astype(jnp.float32)
@@ -317,7 +359,11 @@ class image(base):
                     a = 1.0 / (1.0 + jnp.exp(-10.0 * (sf / eco_iters - 0.25)))
                 else:
                     a = jnp.minimum(sf / eco_iters, 1.0)
-                out_ng = jax.lax.stop_gradient(apply_g(params_g, lq, rng))
+                # centroid forward: batch-stat normalization, but the
+                # running-stat update comes from the main forward only
+                out_ng = jax.lax.stop_gradient(
+                    apply_g(params_g, bstats_g, lq, rng)[0]
+                )
                 warm = jnp.asarray((not has_pretrain), jnp.bool_) & (step < eco_init)
                 use = (~warm) & (step <= eco_iters)
                 gt_eff = jnp.where(use, (1 - a) * out_ng + a * gt, gt)
@@ -329,7 +375,9 @@ class image(base):
             else:
                 lq_eff, gt_eff = lq, gt
 
-            out = apply_g(params_g, lq_eff, rng)
+            out, new_bs_g = apply_g(
+                params_g, bstats_g, lq_eff, rng, update_stats=True
+            )
             losses = {}
             total = jnp.zeros([], jnp.float32)
             if match_lq:
@@ -345,12 +393,14 @@ class image(base):
                 losses[name] = val
                 total = total + val
             if net_d is not None and cri_gan is not None:
-                fake_pred = net_d.apply({"params": params_d}, out)
+                # G-step D forward: batch-stat mode but no running update
+                # (the D step owns the stat cadence)
+                fake_pred, _ = apply_d(params_d, bstats_d, out)
                 l_g_gan = cri_gan(fake_pred, True, is_disc=False).astype(jnp.float32)
                 losses["l_g_gan"] = l_g_gan
                 total = total + l_g_gan
             losses["l_g_total"] = total
-            return total, (losses, out)
+            return total, (losses, out, new_bs_g)
 
         # batch augmentations on the paired path (reference image.py:380-391
         # applies them in feed_data; here they fuse into the jitted step).
@@ -380,7 +430,7 @@ class image(base):
         # calls; the SN discriminators have no cross-batch ops
         batch_d = self.opt.get("network_d", {}).get("type") != "ea2fpn"
 
-        def d_loss_fn(params_d, out, gt, step):
+        def d_loss_fn(params_d, out, gt, step, bstats_d):
             out = jax.lax.stop_gradient(out)
             if wavelet:
                 # D sees high-frequency wavelet bands once past wavelet_init
@@ -398,18 +448,25 @@ class image(base):
                 # launches and spectral-norm recomputation vs two applies
                 # (the SN discriminators have no cross-batch ops, so the
                 # math is identical)
-                pred = net_d.apply(
-                    {"params": params_d},
+                pred, new_bs_d = apply_d(
+                    params_d, bstats_d,
                     jnp.concatenate([real_in, fake_in], axis=0),
+                    update_stats=True,
                 )
                 real_pred, fake_pred = jnp.split(pred, 2, axis=0)
             else:
-                real_pred = net_d.apply({"params": params_d}, real_in)
-                fake_pred = net_d.apply({"params": params_d}, fake_in)
+                # BN discriminator: two sequential torch-style forwards
+                # (real first, then fake with real-updated running stats)
+                real_pred, bs_mid = apply_d(
+                    params_d, bstats_d, real_in, update_stats=True
+                )
+                fake_pred, new_bs_d = apply_d(
+                    params_d, bs_mid, fake_in, update_stats=True
+                )
             l_d_real = cri_gan(real_pred, True, is_disc=True).astype(jnp.float32)
             l_d_fake = cri_gan(fake_pred, False, is_disc=True).astype(jnp.float32)
             total = l_d_real + l_d_fake
-            return total, {"l_d_real": l_d_real, "l_d_fake": l_d_fake}
+            return total, ({"l_d_real": l_d_real, "l_d_fake": l_d_fake}, new_bs_d)
 
         def train_step(state: TrainState, lq: jax.Array, gt: jax.Array):
             # uint8 batches normalize on device: host->device traffic is 4x
@@ -424,8 +481,9 @@ class image(base):
                 gt, lq = paired_aug(gt, lq, aug_rng)
 
             grad_fn = jax.value_and_grad(g_loss_fn, has_aux=True)
-            (loss_g, (losses, out)), grads = grad_fn(
-                state.params_g, state.params_d, lq, gt, step_rng, step
+            (loss_g, (losses, out, bstats_g)), grads = grad_fn(
+                state.params_g, state.params_d, lq, gt, step_rng, step,
+                state.bstats_g, state.bstats_d,
             )
 
             sam_m, sam_t = state.sam_m, state.sam_t
@@ -461,7 +519,8 @@ class image(base):
                         )
                     perturbed = jax.tree.map(jnp.add, state.params_g, e_w)
                     (_, _), g2 = grad_fn(
-                        perturbed, state.params_d, lq, gt, step_rng, step
+                        perturbed, state.params_d, lq, gt, step_rng, step,
+                        state.bstats_g, state.bstats_d,
                     )
                     return g2, m_new, t + 1
 
@@ -481,16 +540,18 @@ class image(base):
             opt_g = _tree_where(finite, opt_g, state.opt_g)
 
             params_d, opt_d = state.params_d, state.opt_d
+            bstats_d = state.bstats_d
             if net_d is not None:
-                (loss_d, d_losses), grads_d = jax.value_and_grad(
+                (loss_d, (d_losses, bstats_d)), grads_d = jax.value_and_grad(
                     d_loss_fn, has_aux=True
-                )(state.params_d, out, gt, step)
+                )(state.params_d, out, gt, step, state.bstats_d)
                 losses.update(d_losses)
                 finite_d = jnp.isfinite(loss_d)
                 updates_d, opt_d = optim_d.update(grads_d, state.opt_d, state.params_d)
                 params_d = optax.apply_updates(state.params_d, updates_d)
                 params_d = _tree_where(finite_d, params_d, state.params_d)
                 opt_d = _tree_where(finite_d, opt_d, state.opt_d)
+                bstats_d = _tree_where(finite_d, bstats_d, state.bstats_d)
                 finite = finite & finite_d
 
             ema_g = state.ema_g
@@ -511,6 +572,8 @@ class image(base):
                 nan_count=state.nan_count + jnp.where(finite, 0, 1),
                 sam_m=sam_m,
                 sam_t=sam_t,
+                bstats_g=_tree_where(finite, bstats_g, state.bstats_g),
+                bstats_d=bstats_d,
             )
             return new_state, losses
 
@@ -554,6 +617,19 @@ class image(base):
             return sf_eval_params(state.opt_g, state.params_g)
         return state.params_g
 
+    def _eval_variables(self):
+        """Full variable dict for inference: eval params + (for BN archs)
+        the current running statistics."""
+        variables = {"params": self._eval_params()}
+        bstats = (
+            self.state.bstats_g
+            if (self.is_train and self.state is not None)
+            else self.bstats_g
+        )
+        if bstats:
+            variables["batch_stats"] = bstats
+        return variables
+
     def _pad_multiple(self) -> int:
         """Spatial bucket for inference padding: a multiple of 64 (to limit
         recompiles) that the arch's window size divides (window-24 models
@@ -572,7 +648,7 @@ class image(base):
 
     def test(self) -> None:
         """Run net_g on self.lq -> self.output (whole image or tiled)."""
-        params = self._eval_params()
+        params = self._eval_variables()
         tile = self.opt.get("val", {}).get("tile", -1) if self.opt.get("val") else -1
         lq = self.lq
         if tile == -1:
@@ -705,23 +781,46 @@ class image(base):
                       net: str = "network_g"):
         logger = get_root_logger()
         suffix = Path(load_path).suffix.lower()
+        loaded_stats = None
         if suffix in (".pth", ".pt"):
             # reference-ecosystem torch checkpoint: convert key layout
             # (reference save format base.py:281-354; openmodeldb models)
             from neosr_tpu.utils.torch_interop import load_torch_checkpoint
 
             arch_type = self.opt.get(net, {}).get("type", "")
-            loaded = load_torch_checkpoint(load_path, arch_type, param_key)
+            loaded, loaded_stats = load_torch_checkpoint(
+                load_path, arch_type, param_key, with_stats=True
+            )
         elif suffix == ".safetensors":
             from neosr_tpu.utils.checkpoint import load_safetensors
 
             loaded = load_safetensors(load_path)
         else:
             loaded = load_pytree(load_path)
+        if isinstance(loaded, dict) and "batch_stats" in loaded:
+            loaded_stats = loaded["batch_stats"]
         for key in (param_key, "params-ema", "params_ema", "params"):
             if isinstance(loaded, dict) and key in loaded:
                 loaded = loaded[key]
                 break
+        # BN running statistics travel with the checkpoint (torch
+        # state_dicts carry running_mean/var; our .ckpt payloads carry the
+        # batch_stats collection)
+        if loaded_stats:
+            stats_attr = "bstats_g" if net == "network_g" else "bstats_d"
+            tgt_stats = getattr(self, stats_attr, None)
+            if tgt_stats:
+                try:
+                    setattr(self, stats_attr, jax.tree.map(
+                        lambda t, l: jnp.asarray(l).astype(t.dtype).reshape(t.shape),
+                        tgt_stats, loaded_stats,
+                    ))
+                    logger.info(f"Loaded BN running statistics from {load_path}")
+                except Exception as e:
+                    if strict:
+                        msg = f"Failed strict batch-stats load from {load_path}: {e}"
+                        raise ValueError(msg) from e
+                    logger.warning(f"Skipping mismatched batch_stats: {e}")
         try:
             restored = jax.tree.map(lambda t, l: jnp.asarray(l).astype(t.dtype).reshape(t.shape),
                                     target, loaded)
@@ -755,9 +854,14 @@ class image(base):
         if self.ema_decay > 0:
             payload["params_ema"] = params_main
             payload["params"] = state.params_g
+        if jax.tree.leaves(state.bstats_g):
+            payload["batch_stats"] = state.bstats_g
         save_pytree(models_dir / f"net_g_{current_iter}.ckpt", payload)
         if state.params_d is not None:
-            save_pytree(models_dir / f"net_d_{current_iter}.ckpt", {"params": state.params_d})
+            payload_d = {"params": state.params_d}
+            if jax.tree.leaves(state.bstats_d):
+                payload_d["batch_stats"] = state.bstats_d
+            save_pytree(models_dir / f"net_d_{current_iter}.ckpt", payload_d)
 
         train_state = {
             "epoch": epoch,
@@ -769,6 +873,8 @@ class image(base):
             "ema_g": state.ema_g,
             "params_d": state.params_d,
             "opt_d": state.opt_d,
+            "bstats_g": state.bstats_g,
+            "bstats_d": state.bstats_d,
         }
         save_pytree(
             Path(self.opt["path"]["training_states"]) / f"{current_iter}.state",
@@ -787,6 +893,8 @@ class image(base):
             "ema_g": host_state.ema_g,
             "params_d": host_state.params_d,
             "opt_d": host_state.opt_d,
+            "bstats_g": host_state.bstats_g,
+            "bstats_d": host_state.bstats_d,
         }
         try:
             restored = load_pytree(resume_state["path"], target)
@@ -803,6 +911,13 @@ class image(base):
             get_root_logger().warning(
                 "Resume state layout differs from runtime (fused-optimizer "
                 "setting changed?) — converting optimizer buffers."
+            )
+            # states written before batch_stats existed lack these keys
+            raw.setdefault(
+                "bstats_g", serialization.to_state_dict(host_state.bstats_g)
+            )
+            raw.setdefault(
+                "bstats_d", serialization.to_state_dict(host_state.bstats_d)
             )
             raw["opt_g"] = adapt_opt_layout(
                 raw["opt_g"], host_state.opt_g, host_state.params_g
@@ -822,6 +937,8 @@ class image(base):
             ema_g=restored["ema_g"],
             params_d=restored["params_d"],
             opt_d=restored["opt_d"],
+            bstats_g=restored["bstats_g"],
+            bstats_d=restored["bstats_d"],
         )
         self.state = replicate(new_state, self.mesh)
 

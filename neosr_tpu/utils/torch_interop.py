@@ -516,12 +516,20 @@ def family(arch_type: str) -> str | None:
     return None
 
 
+# converters emit BN running statistics under this flat-key prefix; the
+# loader splits them into the flax "batch_stats" collection
+BATCH_STATS_PREFIX = "batch_stats::"
+
+
 def convert_state_dict(
-    sd: dict[str, Any], arch_type: str, scale: int = 4
-) -> dict[str, Any]:
+    sd: dict[str, Any], arch_type: str, scale: int = 4,
+    with_stats: bool = False,
+) -> dict[str, Any] | tuple[dict[str, Any], dict[str, Any] | None]:
     """Flat torch state_dict -> nested flax param tree for `arch_type`.
     `scale` disambiguates converters whose mapping depends on the upsampler
-    stage actually in use (msdan)."""
+    stage actually in use (msdan).  With `with_stats`, also returns the
+    BN running statistics as a nested "batch_stats"-collection tree (None
+    when the arch has no BN)."""
     converters = _all_converters()
     fam = family(arch_type)
     if fam is None:
@@ -536,7 +544,15 @@ def convert_state_dict(
         flat = converters[fam](sd_np, scale=scale)
     else:
         flat = converters[fam](sd_np)
-    return unflatten_params(flat)
+    stats_flat = {
+        k[len(BATCH_STATS_PREFIX):]: v
+        for k, v in flat.items() if k.startswith(BATCH_STATS_PREFIX)
+    }
+    flat = {k: v for k, v in flat.items() if not k.startswith(BATCH_STATS_PREFIX)}
+    params = unflatten_params(flat)
+    if with_stats:
+        return params, (unflatten_params(stats_flat) if stats_flat else None)
+    return params
 
 
 # --------------------------------------------------------------- export
@@ -1014,12 +1030,15 @@ def save_torch_checkpoint(
 
 
 def load_torch_checkpoint(
-    path: str | Path, arch_type: str, param_key: str = "params"
-) -> dict[str, Any]:
+    path: str | Path, arch_type: str, param_key: str = "params",
+    with_stats: bool = False,
+) -> Any:
     """Load a reference-format .pth and convert to our param tree.
 
     Accepts both wrapped ({param_key: sd}) and raw state_dicts; searches
-    param keys in the reference's order (base.py:385-394)."""
+    param keys in the reference's order (base.py:385-394).  With
+    `with_stats`, returns (params, batch_stats-or-None) so BN archs keep
+    their running statistics."""
     import torch
 
     loaded = torch.load(str(path), map_location="cpu", weights_only=True)
@@ -1028,4 +1047,4 @@ def load_torch_checkpoint(
             loaded = loaded[key]
             break
     sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in loaded.items()}
-    return convert_state_dict(sd, arch_type)
+    return convert_state_dict(sd, arch_type, with_stats=with_stats)

@@ -219,8 +219,7 @@ def convert_eimn(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
             out[f"{sc}.layer_scale_1"] = sd[f"{tp}.layer_scale_1"]
             out[f"{sc}.layer_scale_2"] = sd[f"{tp}.layer_scale_2"]
             for n, norm in enumerate(("norm1", "norm2")):
-                out[f"{sc}.BatchStatNorm_{n}.scale"] = sd[f"{tp}.{norm}.weight"]
-                out[f"{sc}.BatchStatNorm_{n}.bias"] = sd[f"{tp}.{norm}.bias"]
+                _put_bn(out, f"{sc}.BatchStatNorm_{n}", sd, f"{tp}.{norm}", used)
             attn = f"{sc}.MOLRCM_0"
             _put_conv(out, f"{attn}.Conv2d_0", sd, f"{tp}.attn.proj_value.0", used)
             _put_conv(out, f"{attn}.Conv2d_1", sd, f"{tp}.attn.proj_query.0", used)
@@ -837,10 +836,15 @@ def convert_srformer(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
 
 
 def _put_bn(out: dict, scope: str, sd: dict, tp: str, used: set) -> None:
-    """BatchNorm weight/bias -> BatchStatNorm (running stats dropped)."""
+    """BatchNorm weight/bias + running stats -> BatchStatNorm."""
     out[f"{scope}.scale"] = sd[f"{tp}.weight"]
     out[f"{scope}.bias"] = sd[f"{tp}.bias"]
     used.update((f"{tp}.weight", f"{tp}.bias"))
+    if f"{tp}.running_mean" in sd:
+        out[f"batch_stats::{scope}.mean"] = sd[f"{tp}.running_mean"]
+        out[f"batch_stats::{scope}.var"] = sd[f"{tp}.running_var"]
+        used.update((f"{tp}.running_mean", f"{tp}.running_var",
+                     f"{tp}.num_batches_tracked"))
 
 
 def convert_dat(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
@@ -945,10 +949,8 @@ def convert_dctlsa(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
                 _put_dense(out, f"{attn}.Dense_1", sd, f"{btp}.attn.proj", used)
                 loc = f"{attn}.LocalModule_0"
                 for n in range(2):
-                    out[f"{loc}.BatchStatNorm_{n}.scale"] = sd[
-                        f"{btp}.attn.local.pointwise_prenorm_{n}.weight"]
-                    out[f"{loc}.BatchStatNorm_{n}.bias"] = sd[
-                        f"{btp}.attn.local.pointwise_prenorm_{n}.bias"]
+                    _put_bn(out, f"{loc}.BatchStatNorm_{n}", sd,
+                            f"{btp}.attn.local.pointwise_prenorm_{n}", used)
                     _put_conv(out, f"{loc}.Conv2d_{n}", sd,
                               f"{btp}.attn.local.pointwise_conv_{n}", used)
                 _put_raw_conv(out, f"{loc}.Conv_0", sd,

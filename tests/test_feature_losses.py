@@ -354,7 +354,15 @@ def test_ea2fpn_resnet18_trunk_grafted_parity():
             c5 = self.layer4(c4)
             return c1, c2, c3, c4, c5
 
-    m = TTrunk().train()
+    m = TTrunk()
+    # eval mode with randomized running stats: the pretrained-weights
+    # surface is torch .eval() inference, running-average normalization
+    g = torch.Generator().manual_seed(23)
+    for mod_ in m.modules():
+        if isinstance(mod_, tnn.modules.batchnorm._BatchNorm):
+            mod_.running_mean.normal_(0.0, 0.5, generator=g)
+            mod_.running_var.uniform_(0.5, 1.5, generator=g)
+    m = m.eval()
     sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
 
     import jax
@@ -362,13 +370,22 @@ def test_ea2fpn_resnet18_trunk_grafted_parity():
 
     from neosr_tpu.archs.ea2fpn import ResNet18Trunk
     from neosr_tpu.utils.checkpoint import unflatten_params
+    from neosr_tpu.utils.torch_interop import BATCH_STATS_PREFIX
     from neosr_tpu.utils.torch_interop_ext import convert_resnet18_trunk
 
-    params = unflatten_params(convert_resnet18_trunk(sd))
+    flat = convert_resnet18_trunk(sd)
+    stats_flat = {
+        k[len(BATCH_STATS_PREFIX):]: v
+        for k, v in flat.items() if k.startswith(BATCH_STATS_PREFIX)
+    }
+    params = unflatten_params(
+        {k: v for k, v in flat.items() if not k.startswith(BATCH_STATS_PREFIX)}
+    )
+    bstats = unflatten_params(stats_flat)
     rng = np.random.default_rng(9)
     x = rng.random((2, 64, 64, 3)).astype(np.float32)
-    ours = jax.jit(lambda p, xx: ResNet18Trunk().apply({"params": p}, xx))(
-        params, jnp.asarray(x))
+    ours = jax.jit(lambda v, xx: ResNet18Trunk().apply(v, xx))(
+        {"params": params, "batch_stats": bstats}, jnp.asarray(x))
     with torch.no_grad():
         theirs = m(torch.from_numpy(x.transpose(0, 3, 1, 2)))
     for k, (o, t) in enumerate(zip(ours, theirs)):

@@ -76,10 +76,15 @@ def _state_dict_np(module):
 
 
 def _compare(torch_model, our_type, our_kwargs, sd, x_nhwc, atol=2e-5):
-    params = convert_state_dict(sd, our_type)  # family() resolves presets
+    # family() resolves presets; BN archs also get running statistics so
+    # the plain (eval-mode) apply matches torch .eval()
+    params, bstats = convert_state_dict(sd, our_type, with_stats=True)
     net = build_network({"type": our_type, **our_kwargs}, scale=4)
-    ours = jax.jit(lambda p, x: net.apply({"params": p}, x))(
-        params, jnp.asarray(x_nhwc)
+    variables = {"params": params}
+    if bstats:
+        variables["batch_stats"] = bstats
+    ours = jax.jit(lambda v, x: net.apply(v, x))(
+        variables, jnp.asarray(x_nhwc)
     )
     with torch.no_grad():
         theirs = torch_model(torch.from_numpy(x_nhwc.transpose(0, 3, 1, 2)))

@@ -63,13 +63,55 @@ def test_light_safmnpp_pth_import(x):
              _state_dict_np(m), x, atol=1e-4)
 
 
+def _randomize_bn_stats(m, seed=0):
+    """Give every BatchNorm non-trivial running statistics so the eval-mode
+    comparison actually exercises the running-average path."""
+    g = torch.Generator().manual_seed(seed)
+    for mod_ in m.modules():
+        if isinstance(mod_, torch.nn.modules.batchnorm._BatchNorm):
+            mod_.running_mean.normal_(0.0, 0.5, generator=g)
+            mod_.running_var.uniform_(0.5, 1.5, generator=g)
+    return m
+
+
 def test_eimn_pth_import(x):
     mod = _load_ref_arch("eimn_arch")
-    # train(): our BatchStatNorm uses batch statistics = torch BN train mode
-    # (fresh running stats would also match, but train() is the honest mode)
-    m = mod.eimn(embed_dims=16, num_stages=2, depths=1).train()
+    # eval(): running-statistics BN (torch .eval() semantics); stats are
+    # randomized so this genuinely tests the running-average path
+    m = _randomize_bn_stats(
+        mod.eimn(embed_dims=16, num_stages=2, depths=1)
+    ).eval()
     _compare(m, "eimn", {"embed_dims": 16, "num_stages": 2, "depths": 1},
              _state_dict_np(m), x, atol=1e-4)
+
+
+def test_eimn_train_mode_parity(x):
+    """Batch-stat (train-mode) parity is preserved too: the train step
+    normalizes by the current batch exactly like torch .train()."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from neosr_tpu.archs import build_network
+    from neosr_tpu.utils.torch_interop import convert_state_dict
+
+    mod = _load_ref_arch("eimn_arch")
+    m = mod.eimn(embed_dims=16, num_stages=2, depths=1).train()
+    sd = _state_dict_np(m)
+    xb = np.random.default_rng(9).random((2, 16, 16, 3)).astype(np.float32)
+    params, bstats = convert_state_dict(sd, "eimn", with_stats=True)
+    net = build_network(
+        {"type": "eimn", "embed_dims": 16, "num_stages": 2, "depths": 1},
+        scale=4,
+    )
+    ours, _ = _jax.jit(
+        lambda v, x: net.apply(v, x, mutable=["batch_stats"])
+    )({"params": params, "batch_stats": bstats}, _jnp.asarray(xb))
+    with torch.no_grad():
+        theirs = m(torch.from_numpy(xb.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy().transpose(0, 2, 3, 1),
+        atol=1e-4, rtol=1e-4,
+    )
 
 
 def test_ditn_pth_import(x):
@@ -112,9 +154,8 @@ def test_cugan_pth_import(scale, pro):
 
 def test_dctlsa_pth_import(x):
     mod = _load_ref_arch("dctlsa_arch")
-    # train(): BatchNorm batch-statistics mode; keep Dropout2d inactive
-    m = mod.dctlsa(nf=16, num_head=2).train()
-    m.dropout.eval()
+    # eval(): running-statistics BN, randomized to exercise the path
+    m = _randomize_bn_stats(mod.dctlsa(nf=16, num_head=2)).eval()
     _compare(m, "dctlsa", {"nf": 16, "num_head": 2}, _state_dict_np(m),
              x, atol=1e-4)
 
@@ -124,13 +165,12 @@ def test_dat_pth_import(ups):
     mod = _load_ref_arch("dat_arch")
     # embed 32 -> DynamicPosBias hidden = 32//2//16 = 1 (non-degenerate;
     # the reference collapses to width 0 below embed 32, dat_arch.py:135)
-    # train() for batch-stats BN; drop_path_rate=0 so stochastic depth
-    # (active in torch train mode) cannot perturb the comparison
-    m = mod.dat(embed_dim=32, depth=[2, 2], num_heads=[4, 4], split_size=[2, 4],
+    # eval(): running-statistics BN, randomized to exercise the path
+    m = _randomize_bn_stats(
+        mod.dat(embed_dim=32, depth=[2, 2], num_heads=[4, 4], split_size=[2, 4],
                 expansion_factor=2, img_size=16, resi_connection="1conv",
-                drop_path_rate=0.0, upsampler=ups).train()
-    # batch 2: torch BatchNorm train mode rejects 1-value-per-channel
-    # inputs (the pooled channel_interaction path)
+                drop_path_rate=0.0, upsampler=ups)
+    ).eval()
     x = np.random.default_rng(3).random((2, 16, 16, 3)).astype(np.float32)
     _compare(
         m, "dat",
