@@ -44,15 +44,20 @@ def load_network(args):
         net_opt.setdefault("window_size", args.window)
     net = build_network(net_opt, scale=args.scale, dtype=dtype)
 
+    bstats = None
     if args.input.endswith(".safetensors"):
         loaded = load_safetensors(args.input)
     elif args.input.endswith((".pth", ".pt")):
         # reference-ecosystem torch checkpoint: convert the key layout
         from neosr_tpu.utils.torch_interop import load_torch_checkpoint
 
-        loaded = load_torch_checkpoint(args.input, args.network)
+        loaded, bstats = load_torch_checkpoint(
+            args.input, args.network, with_stats=True
+        )
     else:
         loaded = load_pytree(args.input)
+    if isinstance(loaded, dict) and "batch_stats" in loaded:
+        bstats = loaded["batch_stats"]
     for key in ("params-ema", "params_ema", "params"):
         if isinstance(loaded, dict) and key in loaded:
             loaded = loaded[key]
@@ -60,11 +65,21 @@ def load_network(args):
 
     # template init to obtain the structure, then graft loaded leaves
     x = jnp.zeros((1, 32, 32, 3), jnp.float32)
-    template = jax.jit(net.init)(jax.random.key(0), x)["params"]
+    tmpl_vars = jax.jit(net.init)(jax.random.key(0), x)
+    template = tmpl_vars["params"]
     params = jax.tree.map(
         lambda t, l: jnp.asarray(l).astype(t.dtype).reshape(t.shape), template, loaded
     )
-    return net, params
+    if bstats is not None and "batch_stats" in tmpl_vars:
+        bstats = jax.tree.map(
+            lambda t, l: jnp.asarray(l).astype(t.dtype).reshape(t.shape),
+            dict(tmpl_vars["batch_stats"]), bstats,
+        )
+    elif "batch_stats" in tmpl_vars:
+        bstats = dict(tmpl_vars["batch_stats"])  # init stats (0 mean / 1 var)
+    else:
+        bstats = None
+    return net, params, bstats
 
 
 def assert_verify(fn, ref_fn, shape, rtol=0.01, atol=0.001):
@@ -100,7 +115,10 @@ def to_exports(args) -> None:
         # default conv/matmul precision is bf16 passes, which fails the
         # reference's rtol .01/atol .001 gate near zero
         jax.config.update("jax_default_matmul_precision", "highest")
-    net, params = load_network(args)
+    net, params, bstats = load_network(args)
+    variables = {"params": params}
+    if bstats:
+        variables["batch_stats"] = bstats
     out_dir = Path(args.output if args.output else ".")
     out_dir.mkdir(parents=True, exist_ok=True)
     stem = Path(args.input).stem
@@ -112,7 +130,7 @@ def to_exports(args) -> None:
         shape = (1, 256, 256, 3)
 
     def forward(x):
-        return net.apply({"params": params}, x)
+        return net.apply(variables, x)
 
     jit_forward = jax.jit(forward)
 
@@ -127,7 +145,8 @@ def to_exports(args) -> None:
         from neosr_tpu.utils.torch_interop import save_torch_checkpoint
 
         pth_path = out_dir / f"{stem}.pth"
-        save_torch_checkpoint(pth_path, params, args.network)
+        save_torch_checkpoint(pth_path, params, args.network,
+                              batch_stats=bstats)
         logger.info(f"torch-layout checkpoint written: {pth_path}")
 
     # StableHLO export (always; the TPU-native deployment format)

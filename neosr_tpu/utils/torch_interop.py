@@ -1012,6 +1012,14 @@ def to_torch_state_dict(
         )
         raise ValueError(msg)
     flat = {k: np.asarray(v, np.float32) for k, v in flatten_params(params).items()}
+    batch_stats = arch_opts.pop("batch_stats", None)
+    if batch_stats:
+        # BN running statistics ride along under the same prefix the
+        # importer uses, so exporters can emit running_mean/var
+        flat.update({
+            f"{BATCH_STATS_PREFIX}{k}": np.asarray(v, np.float32)
+            for k, v in flatten_params(batch_stats).items()
+        })
     if fam in ("span", "atd"):  # norm flag shapes the torch buffer set
         return exporters[fam](flat, norm=bool(arch_opts.get("norm", False)))
     return exporters[fam](flat)

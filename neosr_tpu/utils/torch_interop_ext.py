@@ -1196,11 +1196,10 @@ def export_srformer(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
 
 EXT_EXPORTERS["srformer"] = export_srformer
 
-# NOTE on dat/dctlsa/hma-style export: those archs carry BatchNorm layers
-# whose running statistics we deliberately do not track (import normalizes
-# by batch stats, matching reference train-mode numerics).  A torch-layout
-# export would miss running_mean/var and change eval-mode behavior, so no
-# exporter is provided for them — use safetensors/StableHLO for deploy.
+# dat/eimn/dctlsa exporters live at the end of this file: their BatchNorm
+# running statistics are tracked in the "batch_stats" collection and ride
+# into the torch layout via the batch_stats:: side-channel (_get_bn), so
+# eval-mode behavior transfers exactly.
 
 
 def _get_raw_conv(flat: dict, key_prefix: str, out: dict, tp: str) -> None:
@@ -1210,6 +1209,26 @@ def _get_raw_conv(flat: dict, key_prefix: str, out: dict, tp: str) -> None:
     out[f"{tp}.weight"] = _ik(flat[f"{key_prefix}.kernel"])
     if f"{key_prefix}.bias" in flat:
         out[f"{tp}.bias"] = flat[f"{key_prefix}.bias"]
+
+
+def _get_bn(flat: dict, scope: str, out: dict, tp: str) -> None:
+    """Inverse of _put_bn: BatchStatNorm + running stats -> torch BN keys.
+    Running statistics come from the `batch_stats::` side-channel when the
+    caller passed the collection (to_torch_state_dict(batch_stats=...));
+    otherwise the torch init values (0 mean / 1 var) are emitted so the
+    checkpoint still loads strict."""
+    out[f"{tp}.weight"] = flat[f"{scope}.scale"]
+    out[f"{tp}.bias"] = flat[f"{scope}.bias"]
+    c = flat[f"{scope}.scale"].shape[0]
+    mkey = f"batch_stats::{scope}.mean"
+    out[f"{tp}.running_mean"] = (
+        flat[mkey] if mkey in flat else np.zeros((c,), np.float32)
+    )
+    out[f"{tp}.running_var"] = (
+        flat[f"batch_stats::{scope}.var"] if mkey in flat
+        else np.ones((c,), np.float32)
+    )
+    out[f"{tp}.num_batches_tracked"] = np.zeros((), np.int64)
 
 
 def _get_deconv(flat: dict, key_prefix: str, out: dict, tp: str) -> None:
@@ -1894,3 +1913,197 @@ def export_craft(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
 
 
 EXT_EXPORTERS["craft"] = export_craft
+
+
+# ------------------------------------------------- BN-family exporters
+# Inverses of convert_eimn / convert_dat / convert_dctlsa.  Running
+# statistics are read from the `batch_stats::` side-channel that
+# to_torch_state_dict(batch_stats=...) merges into the flat dict.
+
+
+def export_eimn(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """EIMN (reference eimn_arch.py:48-319).  Stage depths are uniform in
+    every reference preset (eimn_a/eimn_l: depths is a single int), so the
+    flat EIMNBlock numbering splits evenly across the norm{s} stages."""
+    from neosr_tpu.utils.torch_interop import _get_conv, _get_dense, _get_ln
+
+    out: dict[str, np.ndarray] = {}
+    _get_conv(flat, "Conv2d_0", out, "head.0")
+    _get_conv(flat, "Conv2d_1", out, "tail.0")
+    n_stages = len({
+        int(m.group(1)) for k in flat
+        if (m := re.fullmatch(r"LayerNorm_(\d+)\.scale", k))
+    })
+    n_blocks = len({
+        int(m.group(1)) for k in flat
+        if (m := re.match(r"EIMNBlock_(\d+)\.", k))
+    })
+    if n_stages == 0 or n_blocks % n_stages:
+        msg = f"eimn export: {n_blocks} blocks not uniform over {n_stages} stages"
+        raise ValueError(msg)
+    depth = n_blocks // n_stages
+    blk = 0
+    for s in range(1, n_stages + 1):
+        for j in range(depth):
+            sc, tp = f"EIMNBlock_{blk}", f"block{s}.{j}"
+            blk += 1
+            out[f"{tp}.layer_scale_1"] = flat[f"{sc}.layer_scale_1"]
+            out[f"{tp}.layer_scale_2"] = flat[f"{sc}.layer_scale_2"]
+            for n, norm in enumerate(("norm1", "norm2")):
+                _get_bn(flat, f"{sc}.BatchStatNorm_{n}", out, f"{tp}.{norm}")
+            attn = f"{sc}.MOLRCM_0"
+            _get_conv(flat, f"{attn}.Conv2d_0", out, f"{tp}.attn.proj_value.0")
+            _get_conv(flat, f"{attn}.Conv2d_1", out, f"{tp}.attn.proj_query.0")
+            _get_raw_conv(flat, f"{attn}.Conv_0", out, f"{tp}.attn.region")
+            _get_raw_conv(flat, f"{attn}.Conv_1", out, f"{tp}.attn.spatial_1")
+            _get_raw_conv(flat, f"{attn}.Conv_2", out, f"{tp}.attn.spatial_2")
+            _get_conv(flat, f"{attn}.Conv2d_2", out, f"{tp}.attn.fusion")
+            _get_conv(flat, f"{attn}.Conv2d_3", out, f"{tp}.attn.out")
+            mlp = f"{sc}.SADFFM_0"
+            _get_conv(flat, f"{mlp}.Conv2d_0", out, f"{tp}.mlp.linear_in")
+            _get_raw_conv(flat, f"{mlp}.Conv_0", out, f"{tp}.mlp.SAL")
+            _get_conv(flat, f"{mlp}.Conv2d_1", out, f"{tp}.mlp.linear_out")
+            dffm = f"{mlp}.DFFM_0"
+            _get_ln(flat, f"{dffm}.LayerNorm_0", out, f"{tp}.mlp.DFFM.norm")
+            _get_conv(flat, f"{dffm}.Conv2d_0", out, f"{tp}.mlp.DFFM.global_reduce")
+            _get_conv(flat, f"{dffm}.Conv2d_1", out, f"{tp}.mlp.DFFM.local_reduce")
+            _get_conv(flat, f"{dffm}.Conv2d_2", out, f"{tp}.mlp.DFFM.channel_expand")
+            _get_conv(flat, f"{dffm}.Conv2d_3", out, f"{tp}.mlp.DFFM.spatial_expand")
+        _get_ln(flat, f"LayerNorm_{s - 1}", out, f"norm{s}")
+    return out
+
+
+EXT_EXPORTERS["eimn"] = export_eimn
+
+
+def export_dat(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """DAT (reference dat_arch.py:42-1122).  Group depths are uniform in
+    every reference preset (dat/dat_2/dat_s/dat_light use depth=[k]*n), so
+    the flat DATB numbering splits evenly over the residual groups; the
+    spatial/channel alternation is recovered per block from the attention
+    scope actually present."""
+    from neosr_tpu.utils.torch_interop import _get_conv, _get_dense, _get_ln
+
+    out: dict[str, np.ndarray] = {}
+    _get_conv(flat, "Conv2d_0", out, "conv_first")
+    _get_ln(flat, "LayerNorm_0", out, "before_RG.1")
+    pixelshuffle = any(k.startswith("Upsample_0.") for k in flat)
+    conv_idx = {
+        int(m.group(1)) for k in flat
+        if (m := re.match(r"Conv2d_(\d+)\.", k))
+    }
+    ng = max(conv_idx) - (3 if pixelshuffle else 2)
+    n_blocks = len({
+        int(m.group(1)) for k in flat if (m := re.match(r"DATB_(\d+)\.", k))
+    })
+    if ng <= 0 or n_blocks % ng:
+        msg = f"dat export: {n_blocks} blocks not uniform over {ng} groups"
+        raise ValueError(msg)
+    depth = n_blocks // ng
+    blk = 0
+    for g in range(ng):
+        for _ in range(depth):
+            sc, tp = f"DATB_{blk}", f"layers.{g}.blocks.{blk % depth}"
+            blk += 1
+            _get_ln(flat, f"{sc}.LayerNorm_0", out, f"{tp}.norm1")
+            _get_ln(flat, f"{sc}.LayerNorm_1", out, f"{tp}.norm2")
+            spatial = any(
+                k.startswith(f"{sc}.AxialSpatialAttention_0.") for k in flat
+            )
+            attn = (f"{sc}.AxialSpatialAttention_0" if spatial
+                    else f"{sc}.AxialChannelAttention_0")
+            _get_dense(flat, f"{attn}.Dense_0", out, f"{tp}.attn.qkv")
+            _get_dense(flat, f"{attn}.Dense_1", out, f"{tp}.attn.proj")
+            if spatial:
+                for br in (0, 1):
+                    pos = f"{attn}.SpatialAttentionBranch_{br}.DynamicPosBias_0"
+                    ptp = f"{tp}.attn.attns.{br}.pos"
+                    _get_dense(flat, f"{pos}.Dense_0", out, f"{ptp}.pos_proj")
+                    for n in range(1, 4):
+                        _get_ln(flat, f"{pos}.LayerNorm_{n - 1}", out,
+                                f"{ptp}.pos{n}.0")
+                        _get_dense(flat, f"{pos}.Dense_{n}", out,
+                                   f"{ptp}.pos{n}.2")
+            else:
+                out[f"{tp}.attn.temperature"] = flat[f"{attn}.temperature"]
+            _get_raw_conv(flat, f"{attn}.Conv_0", out, f"{tp}.attn.dwconv.0")
+            _get_bn(flat, f"{attn}.BatchStatNorm_0", out, f"{tp}.attn.dwconv.1")
+            _get_conv(flat, f"{attn}.Conv2d_0", out,
+                      f"{tp}.attn.channel_interaction.1")
+            _get_bn(flat, f"{attn}.BatchStatNorm_1", out,
+                    f"{tp}.attn.channel_interaction.2")
+            _get_conv(flat, f"{attn}.Conv2d_1", out,
+                      f"{tp}.attn.channel_interaction.4")
+            _get_conv(flat, f"{attn}.Conv2d_2", out,
+                      f"{tp}.attn.spatial_interaction.0")
+            _get_bn(flat, f"{attn}.BatchStatNorm_2", out,
+                    f"{tp}.attn.spatial_interaction.1")
+            _get_conv(flat, f"{attn}.Conv2d_3", out,
+                      f"{tp}.attn.spatial_interaction.3")
+            ffn = f"{sc}.SGFN_0"
+            _get_dense(flat, f"{ffn}.Dense_0", out, f"{tp}.ffn.fc1")
+            _get_ln(flat, f"{ffn}.LayerNorm_0", out, f"{tp}.ffn.sg.norm")
+            _get_raw_conv(flat, f"{ffn}.Conv_0", out, f"{tp}.ffn.sg.conv")
+            _get_dense(flat, f"{ffn}.Dense_1", out, f"{tp}.ffn.fc2")
+        _get_conv(flat, f"Conv2d_{g + 1}", out, f"layers.{g}.conv")
+    _get_ln(flat, "LayerNorm_1", out, "norm")
+    _get_conv(flat, f"Conv2d_{ng + 1}", out, "conv_after_body")
+    if pixelshuffle:
+        _get_conv(flat, f"Conv2d_{ng + 2}", out, "conv_before_upsample.0")
+        n_up = len({
+            int(m.group(1)) for k in flat
+            if (m := re.match(r"Upsample_0\.Conv2d_(\d+)\.", k))
+        })
+        # torch Upsample is Sequential(conv, PixelShuffle, conv, ...) so the
+        # n-th conv sits at index 2n
+        for n in range(n_up):
+            _get_conv(flat, f"Upsample_0.Conv2d_{n}", out, f"upsample.{2 * n}")
+        _get_conv(flat, f"Conv2d_{ng + 3}", out, "conv_last")
+    else:
+        _get_conv(flat, f"Conv2d_{ng + 2}", out, "upsample.0")
+    return out
+
+
+EXT_EXPORTERS["dat"] = export_dat
+
+
+def export_dctlsa(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """DCTLSA (reference dctlsa_arch.py:12-593): fixed 2 SwinT x 2 blocks
+    per LSAB group; group count recovered from the LSAB scopes."""
+    from neosr_tpu.utils.torch_interop import _get_conv, _get_dense, _get_ln
+
+    out: dict[str, np.ndarray] = {}
+    _get_conv(flat, "Conv2d_0", out, "fea_conv")
+    n_groups = len({
+        int(m.group(1)) for k in flat if (m := re.match(r"LSAB_(\d+)\.", k))
+    })
+    for g in range(n_groups):
+        for i in range(2):
+            tp = f"B{g + 1}.body.{i}.transformer_body.0"
+            sc = f"LSAB_{g}.SwinT_{i}"
+            _get_ln(flat, f"{sc}.patch_norm", out, f"{tp}.patch_embed.norm")
+            for j in range(2):
+                btp = f"{tp}.blocks.{j}"
+                bsc = f"{sc}.SwinTBlock_{j}"
+                attn = f"{bsc}.LinearWindowAttention_0"
+                _get_dense(flat, f"{attn}.Dense_0", out, f"{btp}.attn.qkv")
+                _get_dense(flat, f"{attn}.Dense_1", out, f"{btp}.attn.proj")
+                loc = f"{attn}.LocalModule_0"
+                for n in range(2):
+                    _get_bn(flat, f"{loc}.BatchStatNorm_{n}", out,
+                            f"{btp}.attn.local.pointwise_prenorm_{n}")
+                    _get_conv(flat, f"{loc}.Conv2d_{n}", out,
+                              f"{btp}.attn.local.pointwise_conv_{n}")
+                _get_raw_conv(flat, f"{loc}.Conv_0", out,
+                              f"{btp}.attn.local.depthwise_conv")
+                _get_dense(flat, f"{bsc}.Dense_0", out, f"{btp}.mlp.fc1")
+                _get_dense(flat, f"{bsc}.Dense_1", out, f"{btp}.mlp.fc2")
+    for n in range(1, n_groups):
+        _get_conv(flat, f"Conv2d_{n}", out, f"c{n}.0")
+    _get_conv(flat, f"Conv2d_{n_groups}", out, "c.0")
+    _get_conv(flat, f"Conv2d_{n_groups + 1}", out, "LR_conv")
+    _get_conv(flat, f"Conv2d_{n_groups + 2}", out, "upsampler.0")
+    return out
+
+
+EXT_EXPORTERS["dctlsa"] = export_dctlsa

@@ -586,3 +586,81 @@ def test_craft_pth_export_roundtrip():
                          "relative_position_index_h",
                          "relative_position_index_v",
                          "biases_v", "biases_h"))
+
+
+def _roundtrip_strict_bn(arch_file, torch_cls, our_type, our_kwargs,
+                         torch_kwargs, x, atol=1e-4, allowed_missing=()):
+    """BN-family roundtrip: random flax params + RANDOMIZED running stats ->
+    torch-layout export (running_mean/var included) -> torch .eval() load ->
+    eval-forward parity.  Proves the running statistics transfer exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from neosr_tpu.archs import build_network
+    from neosr_tpu.utils.torch_interop import to_torch_state_dict
+
+    net = build_network({"type": our_type, **our_kwargs}, scale=4)
+    variables = jax.jit(net.init)(jax.random.key(2), jnp.asarray(x))
+    params = variables["params"]
+    rng = np.random.default_rng(31)
+
+    def _randstat(leaf_path, leaf):
+        name = leaf_path[-1].key
+        if name == "mean":
+            return jnp.asarray(rng.normal(0.0, 0.5, leaf.shape).astype(np.float32))
+        return jnp.asarray(rng.uniform(0.5, 1.5, leaf.shape).astype(np.float32))
+
+    bstats = jax.tree_util.tree_map_with_path(
+        _randstat, variables["batch_stats"]
+    )
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in to_torch_state_dict(
+              params, our_type, batch_stats=bstats).items()}
+    mod = _load_ref_arch(arch_file)
+    m = getattr(mod, torch_cls)(**torch_kwargs)
+    result = m.load_state_dict(sd, strict=False)
+    assert not result.unexpected_keys, result.unexpected_keys
+    assert all(k.endswith(tuple(allowed_missing)) for k in result.missing_keys), \
+        result.missing_keys
+    m = m.eval()
+    ours = jax.jit(lambda v, xx: net.apply(v, xx))(
+        {"params": params, "batch_stats": bstats}, jnp.asarray(x))
+    with torch.no_grad():
+        theirs = m(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy().transpose(0, 2, 3, 1),
+        atol=atol, rtol=1e-4)
+
+
+def test_eimn_pth_export_roundtrip(x):
+    _roundtrip_strict_bn(
+        "eimn_arch", "eimn", "eimn",
+        {"embed_dims": 16, "num_stages": 2, "depths": 1},
+        {"embed_dims": 16, "num_stages": 2, "depths": 1}, x)
+
+
+def test_dctlsa_pth_export_roundtrip(x):
+    # atol 5e-3: flax-init weights drive dctlsa's dense-fusion outputs to
+    # ~±9 (vs ~±1 under torch init in the import test), so fp32
+    # accumulation noise scales up; layout exactness is separately proven
+    # bit-stable by the flax->torch->flax roundtrip in the converters
+    _roundtrip_strict_bn(
+        "dctlsa_arch", "dctlsa", "dctlsa",
+        {"nf": 16, "num_head": 2}, {"nf": 16, "num_head": 2}, x,
+        atol=5e-3,
+        allowed_missing=("attn_mask", "relative_position_index"))
+
+
+@pytest.mark.parametrize("ups", ["pixelshuffle", "pixelshuffledirect"])
+def test_dat_pth_export_roundtrip(ups):
+    xb = np.random.default_rng(5).random((2, 16, 16, 3)).astype(np.float32)
+    _roundtrip_strict_bn(
+        "dat_arch", "dat", "dat",
+        {"embed_dim": 32, "depth": (2, 2), "num_heads": (4, 4),
+         "split_size": (2, 4), "expansion_factor": 2, "upsampler": ups},
+        {"embed_dim": 32, "depth": [2, 2], "num_heads": [4, 4],
+         "split_size": [2, 4], "expansion_factor": 2, "img_size": 16,
+         "resi_connection": "1conv", "drop_path_rate": 0.0,
+         "upsampler": ups},
+        xb, allowed_missing=("attn_mask_0", "attn_mask_1", "rpe_biases",
+                             "relative_position_index"))
