@@ -182,6 +182,7 @@ def to_exports(args) -> None:
 
             mirror = build_torch_mirror(
                 args.network, _mirror_opt(net), args.scale, params,
+                batch_stats=bstats,
             )
             export_onnx(mirror, onnx_path, shape_hw=shape[1:3],
                         channels=shape[3], dynamic=args.static is None)

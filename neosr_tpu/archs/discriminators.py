@@ -74,8 +74,29 @@ def _lrelu(x):
 
 
 def _bilinear_up2(x: jnp.ndarray) -> jnp.ndarray:
-    n, h, w, c = x.shape
-    return jax.image.resize(x, (n, h * 2, w * 2, c), method="bilinear")
+    """Exact 2x bilinear upsample (half-pixel centers, edge clamp ==
+    jax.image.resize "bilinear" == torch F.interpolate align_corners=False)
+    as fusible shifts+interleave: out[2i] = .25 x[i-1] + .75 x[i],
+    out[2i+1] = .75 x[i] + .25 x[i+1].  The general gather-based resize
+    measured 9.6 ms/step of the fused GAN graph (trace_esrgan_otf); this
+    form is pure elementwise+reshape and fuses into the surrounding convs."""
+    def up_axis(v: jnp.ndarray, axis: int) -> jnp.ndarray:
+        first = jax.lax.slice_in_dim(v, 0, 1, axis=axis)
+        last = jax.lax.slice_in_dim(v, v.shape[axis] - 1, v.shape[axis], axis=axis)
+        prev = jnp.concatenate(
+            [first, jax.lax.slice_in_dim(v, 0, v.shape[axis] - 1, axis=axis)], axis
+        )
+        nxt = jnp.concatenate(
+            [jax.lax.slice_in_dim(v, 1, v.shape[axis], axis=axis), last], axis
+        )
+        a = 0.25 * prev + 0.75 * v
+        b = 0.75 * v + 0.25 * nxt
+        st = jnp.stack([a, b], axis=axis + 1)
+        shape = list(v.shape)
+        shape[axis] *= 2
+        return st.reshape(shape)
+
+    return up_axis(up_axis(x, 1), 2)
 
 
 @ARCH_REGISTRY.register()

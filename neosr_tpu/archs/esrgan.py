@@ -7,6 +7,7 @@ each, 0.2 residual scaling), nearest x2 + conv upsampling.  NHWC flax.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any
 
 import jax
@@ -61,6 +62,114 @@ def _conv3x3(x: jnp.ndarray, kernel: jnp.ndarray, dtype: Any) -> jnp.ndarray:
     )
 
 
+def _dense_pieces_fwd(weights, biases, x, c, g, dtype):
+    """Packed dense-block forward: one wide conv per piece (see
+    ResidualDenseBlock docstring).  Returns (x5, pieces)."""
+    def rows(k_kernel, j):
+        lo = 0 if j == 0 else c + (j - 1) * g
+        return weights[k_kernel][:, :, lo : lo + (c if j == 0 else g), :]
+
+    outs = [g, g, g, g, c]
+    pieces = [x]
+    ys = []
+    x5 = None
+    for k in range(5):
+        w_cat = jnp.concatenate([rows(kk, k) for kk in range(k, 5)], axis=-1)
+        ys.append(_conv3x3(pieces[k], w_cat, dtype))
+        acc = None
+        for j2 in range(k + 1):
+            off = (k - j2) * g
+            sl = ys[j2][..., off : off + outs[k]]
+            acc = sl if acc is None else acc + sl
+        acc = acc + biases[k].astype(acc.dtype)
+        if k < 4:
+            pieces.append(lrelu(acc))
+        else:
+            x5 = acc
+    return x5, pieces
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _dense_block(weights, biases, x, c, g, dtype):
+    return _dense_pieces_fwd(weights, biases, x, c, g, dtype)[0]
+
+
+def _dense_block_fwd(weights, biases, x, c, g, dtype):
+    x5, pieces = _dense_pieces_fwd(weights, biases, x, c, g, dtype)
+    return x5, (weights, pieces)
+
+
+def _dense_block_bwd(c, g, dtype, res, g_out):
+    """MXU-friendly backward: XLA's autodiff of the packed forward gives
+    input-grad convs with 32-lane outputs (25% MXU).  Here input grads run
+    per ORIGINAL conv (transposed conv, 64-192 output lanes) and weight
+    grads per PIECE (wide packed outputs) — both formulations of the same
+    math, each in its efficient layout."""
+    weights, pieces = res
+    ins = [c, c + g, c + 2 * g, c + 3 * g, c + 4 * g]
+    outs = [g, g, g, g, c]
+    slope = 0.2
+
+    piece_sizes = [c, g, g, g, g]
+    piece_grads = [None] * 5
+    g_pre = [None] * 5
+    g_pre[4] = g_out
+    b_grads = [None] * 5
+    for k in range(4, -1, -1):
+        gk = g_pre[k]
+        b_grads[k] = gk.astype(jnp.float32).sum(axis=(0, 1, 2))
+        # grad w.r.t. conv k's (conceptual) concat input, via the linear
+        # vjp of the conv — input value is irrelevant for a linear map
+        w_k = weights[k]
+        zin = jax.ShapeDtypeStruct(
+            (*pieces[0].shape[:3], ins[k]), pieces[0].dtype
+        )
+        _, vjp_in = jax.vjp(
+            lambda inp, w=w_k: _conv3x3(inp, w, dtype), jnp.zeros(zin.shape, zin.dtype)
+        )
+        (gin,) = vjp_in(gk)
+        off = 0
+        for j in range(k + 1):
+            sl = gin[..., off : off + piece_sizes[j]]
+            piece_grads[j] = sl if piece_grads[j] is None else piece_grads[j] + sl
+            off += piece_sizes[j]
+        if k >= 1:
+            # piece k's grad is complete once convs 4..k are processed
+            mask = pieces[k] > 0
+            pg = piece_grads[k]
+            g_pre[k - 1] = jnp.where(mask, pg, slope * pg)
+
+    # packed weight grads: piece j against the channel-concat of conv
+    # grads j..4 (wide output lanes)
+    g_cat = jnp.concatenate(g_pre, axis=-1)
+
+    def rows(k_kernel, j):
+        lo = 0 if j == 0 else c + (j - 1) * g
+        return weights[k_kernel][:, :, lo : lo + (c if j == 0 else g), :]
+
+    w_grads_rows: list[list[jnp.ndarray]] = [[] for _ in range(5)]
+    for j in range(5):
+        w_cat = jnp.concatenate([rows(kk, j) for kk in range(j, 5)], axis=-1)
+        _, vjp_w = jax.vjp(
+            lambda w, p=pieces[j]: _conv3x3(p, w, dtype), w_cat
+        )
+        (dw_cat,) = vjp_w(g_cat[..., j * g :])
+        off = 0
+        for k in range(j, 5):
+            w_grads_rows[k].append(dw_cat[..., off : off + outs[k]])
+            off += outs[k]
+    w_grads = tuple(
+        jnp.concatenate(w_grads_rows[k], axis=2).astype(weights[k].dtype)
+        for k in range(5)
+    )
+    b_grads_t = tuple(b_grads[k].astype(jnp.float32) for k in range(5))
+    g_x = piece_grads[0].astype(pieces[0].dtype)
+    return w_grads, b_grads_t, g_x
+
+
+_dense_block.defvjp(_dense_block_fwd, _dense_block_bwd)
+
+
 class ResidualDenseBlock(nn.Module):
     """Dense block restructured for the MXU.
 
@@ -89,31 +198,7 @@ class ResidualDenseBlock(nn.Module):
             _Conv2dParams(outs[k], ins[k], init, name=f"Conv2d_{k}")()
             for k in range(5)
         ), strict=True)
-
-        # piece j's rows inside conv k's kernel: x occupies [0,c), piece
-        # j>=1 occupies [c+(j-1)g, c+jg)
-        def rows(k_kernel, j):
-            lo = 0 if j == 0 else c + (j - 1) * g
-            return weights[k_kernel][:, :, lo : lo + (c if j == 0 else g), :]
-
-        pieces: list[jnp.ndarray] = [x]
-        # y[j] = piece_j convolved with its contributions to convs j..4
-        ys: list[jnp.ndarray] = []
-        for k in range(5):
-            j = k  # piece j first feeds conv j
-            w_cat = jnp.concatenate([rows(kk, j) for kk in range(j, 5)], axis=-1)
-            ys.append(_conv3x3(pieces[j], w_cat, self.dtype))
-            # pre-activation of conv k = sum of every earlier piece's slice
-            acc = None
-            for j2 in range(k + 1):
-                off = (k - j2) * g
-                sl = ys[j2][..., off : off + outs[k]]
-                acc = sl if acc is None else acc + sl
-            acc = acc + biases[k].astype(self.dtype)
-            if k < 4:
-                pieces.append(lrelu(acc))
-            else:
-                x5 = acc
+        x5 = _dense_block(tuple(weights), tuple(biases), x, c, g, self.dtype)
         return x5 * 0.2 + x
 
 

@@ -2981,6 +2981,860 @@ def _omnisr_mirror(opt: dict[str, Any], scale: int):
     return OmniSRMirror()
 
 
+def _hma_mirror(opt: dict[str, Any], scale: int):
+    """HMA mirror (BHWC-internal) of neosr_tpu/archs/hma.py — FusedConv/FAB
+    interleave, GAB grid cross-attention with chained AffineTransforms, and
+    the reference's two GAB quirks (strip-partitioned shifted branch,
+    flat-token+channel un-roll) replicated verbatim.  Reference key layout:
+    hma_arch.py:265-1403."""
+    import torch
+    from torch import nn
+    from torch.nn import functional as F
+
+    from neosr_tpu.archs.dat import rect_rel_coords
+    from neosr_tpu.archs.swin_util import (
+        relative_position_index,
+        shift_attn_mask,
+    )
+
+    dim = opt.get("embed_dim", 60)
+    depths = tuple(opt.get("depths", (6, 6, 6, 6)))
+    num_heads = tuple(opt.get("num_heads", (6, 6, 6, 6)))
+    win0 = opt.get("window_size", 8)
+    iv = opt.get("interval_size", 4)
+    mlp_ratio = opt.get("mlp_ratio", 2.0)
+    patch_norm = opt.get("patch_norm", True)
+    img_range = opt.get("img_range", 1.0)
+    in_chans = opt.get("in_chans", 3)
+    num_feat = 64
+
+    def part(t, win):  # BHWC -> (B_, win*win, C)
+        b, h, w, c = t.shape
+        t = t.view(b, h // win, win, w // win, win, c)
+        return t.permute(0, 1, 3, 2, 4, 5).reshape(-1, win * win, c)
+
+    def unpart(t, win, h, w):  # (B_, win*win, C) -> BHWC
+        c = t.shape[-1]
+        b = t.shape[0] // ((h // win) * (w // win))
+        t = t.view(b, h // win, w // win, win, win, c)
+        return t.permute(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+
+    class WinAttn(nn.Module):
+        def __init__(self, wdim: int, win: int, heads: int):
+            super().__init__()
+            self.wdim, self.win, self.heads = wdim, win, heads
+            self.relative_position_bias_table = nn.Parameter(
+                torch.zeros((2 * win - 1) ** 2, heads))
+            self.proj = nn.Linear(wdim, wdim)
+
+        def forward(self, qkv_windows, mask=None):
+            b_, n, c3 = qkv_windows.shape
+            c = c3 // 3
+            heads = self.heads
+            d = c // heads
+            win = self.win
+            qkv = qkv_windows.reshape(b_, n, 3, heads, d).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            idx = torch.from_numpy(
+                relative_position_index(win, win).reshape(-1).copy()).long()
+            bias = self.relative_position_bias_table[idx]
+            bias = bias.view(n, n, heads).permute(2, 0, 1)
+            attn = (q * d**-0.5) @ k.transpose(-2, -1) + bias.unsqueeze(0)
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.view(b_ // nw, nw, heads, n, n)
+                attn = attn + mask.unsqueeze(0).unsqueeze(2)
+                attn = attn.view(b_, heads, n, n)
+            attn = torch.softmax(attn, dim=-1)
+            out = (attn @ v).permute(0, 2, 1, 3).reshape(b_, n, c)
+            return self.proj(out)
+
+    class DPB(nn.Module):
+        def __init__(self, pos_dim: int, heads: int):
+            super().__init__()
+            self.pos_proj = nn.Linear(2, pos_dim)
+            self.pos1 = nn.Sequential(
+                nn.LayerNorm(pos_dim), nn.ReLU(), nn.Linear(pos_dim, pos_dim))
+            self.pos2 = nn.Sequential(
+                nn.LayerNorm(pos_dim), nn.ReLU(), nn.Linear(pos_dim, pos_dim))
+            self.pos3 = nn.Sequential(
+                nn.LayerNorm(pos_dim), nn.ReLU(), nn.Linear(pos_dim, heads))
+
+        def forward(self, b):
+            return self.pos3(self.pos2(self.pos1(self.pos_proj(b))))
+
+    class Affine(nn.Module):
+        def __init__(self, adim: int, heads: int):
+            super().__init__()
+            self.heads = heads
+            self.pos = DPB(max(adim // 16, 1), heads)
+
+        def forward(self, q, k, v, gh, gw):
+            gh, gw = int(gh), int(gw)  # bake at trace time (mask convention)
+            d = q.shape[-1]
+            attn = (q * d**-0.5) @ k.transpose(-2, -1)
+            biases, idx = rect_rel_coords(gh, gw)
+            pos = self.pos(torch.from_numpy(biases.copy()))
+            n = gh * gw
+            bias = pos[torch.from_numpy(idx.reshape(-1).copy()).long()]
+            bias = bias.view(n, n, self.heads).permute(2, 0, 1)
+            attn = torch.softmax(attn + bias.unsqueeze(0), dim=-1)
+            return attn @ v
+
+    class FusedConv(nn.Module):
+        def __init__(self):
+            super().__init__()
+            mid = dim * 6
+            self.pre_norm = nn.LayerNorm(dim, eps=1e-5)
+            self.fused_conv = nn.Conv2d(dim, mid, 3, padding=1)
+            self.norm1 = nn.LayerNorm(mid, eps=1e-5)
+            self.se = nn.ModuleDict({
+                "fc1": nn.Conv2d(mid, mid // 2, 1),
+                "fc2": nn.Conv2d(mid // 2, mid, 1),
+            })
+            self.conv3_1x1 = nn.Conv2d(mid, dim, 1)
+
+        def forward(self, x):  # BHWC
+            shortcut = x
+            h = self.pre_norm(x)
+            h = self.fused_conv(h.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            h = F.gelu(self.norm1(h))
+            hc = h.permute(0, 3, 1, 2)
+            g = hc.mean((2, 3), keepdim=True)
+            g = torch.sigmoid(self.se["fc2"](F.silu(self.se["fc1"](g))))
+            hc = hc * g
+            return self.conv3_1x1(hc).permute(0, 2, 3, 1) + shortcut
+
+    class FAB(nn.Module):
+        def __init__(self, heads: int, shift: int):
+            super().__init__()
+            self.heads, self.shift0 = heads, shift
+            self.norm1 = nn.LayerNorm(dim, eps=1e-5)
+            self.qkv = nn.Linear(dim, dim * 3)
+            self.attn = WinAttn(dim, win0, heads)
+            self.norm2 = nn.LayerNorm(dim, eps=1e-5)
+            self.mlp = nn.ModuleDict({
+                "fc1": nn.Linear(dim, int(dim * mlp_ratio)),
+                "fc2": nn.Linear(int(dim * mlp_ratio), dim),
+            })
+
+        def forward(self, x):  # BHWC
+            b, h, w, c = x.shape
+            win, shift = win0, self.shift0
+            if min(h, w) <= win:
+                shift = 0
+                win = min(h, w, win)
+            shortcut = x
+            qkv = self.qkv(self.norm1(x))
+            if shift > 0:
+                qkv = torch.roll(qkv, (-shift, -shift), dims=(1, 2))
+                mask = torch.from_numpy(shift_attn_mask(h, w, win, shift).copy())
+            else:
+                mask = None
+            self.attn.win = win
+            xs = unpart(self.attn(part(qkv, win), mask), win, h, w)
+            if shift > 0:
+                xs = torch.roll(xs, (shift, shift), dims=(1, 2))
+            x = shortcut + xs
+            return x + self.mlp["fc2"](F.gelu(self.mlp["fc1"](self.norm2(x))))
+
+    class GABM(nn.Module):
+        def __init__(self, heads_full: int):
+            super().__init__()
+            heads = max(heads_full // 2, 1)
+            self.heads = heads
+            self.qkv = nn.Linear(dim, dim * 3)
+            self.grid_proj = nn.Linear(dim, dim // 2)
+            self.grid_attn = nn.ModuleDict({
+                "attn_transform1": Affine(dim // 2, heads),
+                "attn_transform2": Affine(dim // 2, heads),
+            })
+            self.window_attn = WinAttn(dim // 4, win0, heads)
+            self.window_attn_s = WinAttn(dim // 4, win0, heads)
+            self.fc = nn.Linear(dim, dim)
+            self.norm1 = nn.LayerNorm(dim, eps=1e-5)
+            self.norm2 = nn.LayerNorm(dim, eps=1e-5)
+            self.mlp = nn.ModuleDict({
+                "fc1": nn.Linear(dim, int(dim * mlp_ratio)),
+                "fc2": nn.Linear(int(dim * mlp_ratio), dim),
+            })
+
+        def forward(self, x):  # BHWC
+            b, h, w, c = x.shape
+            win = min(win0, h, w)
+            shift = win // 2
+            gh, gw = h // iv, w // iv
+            heads = self.heads
+            shortcut = x
+            qkv = self.qkv(x)
+            x_window = qkv[..., : c * 3 // 2]
+            x_qkv = qkv[..., c * 3 // 2:]
+
+            def grid_shuffle(t):
+                cc = t.shape[-1]
+                t = t.view(b, gh, iv, gw, iv, cc)
+                t = t.permute(0, 2, 4, 1, 3, 5)
+                return t.reshape(b * iv * iv, gh * gw, cc)
+
+            def grid_unshuffle(t):
+                cc = t.shape[-1]
+                t = t.view(b, iv, iv, gh, gw, cc)
+                t = t.permute(0, 3, 1, 4, 2, 5)
+                return t.reshape(b, h, w, cc)
+
+            half = c // 2
+            dh = half // heads
+            x_grid = self.grid_proj(grid_shuffle(x))
+            g = x_grid.reshape(-1, gh * gw, heads, dh).permute(0, 2, 1, 3)
+            t = grid_shuffle(x_qkv).reshape(-1, gh * gw, 3, heads, dh)
+            t = t.permute(2, 0, 3, 1, 4)
+            q, k, v = t[0], t[1], t[2]
+            y = self.grid_attn["attn_transform1"](g, k, v, gh, gw)
+            y = self.grid_attn["attn_transform2"](q, g, y, gh, gw)
+            y = y.permute(0, 2, 1, 3).reshape(-1, gh * gw, half)
+            x_grid_attn = grid_unshuffle(y)
+
+            quarter = (c * 3) // 4
+            xw = x_window[..., :quarter]
+            xw_s = x_window[..., quarter:]
+            self.window_attn.win = win
+            self.window_attn_s.win = win
+            wa = unpart(self.window_attn(part(xw, win)), win, h, w)
+            xw_s = torch.roll(xw_s, (-shift, -shift), dims=(1, 2))
+            mask = (torch.from_numpy(shift_attn_mask(h, w, win, shift).copy())
+                    if shift > 0 else None)
+            # reference quirk: shifted branch is strip-partitioned (plain
+            # row-major reshape), then scattered back as window tiles
+            was = self.window_attn_s(
+                xw_s.reshape(-1, win * win, quarter), mask)
+            was = unpart(was, win, h, w)
+            # reference quirk: un-roll on the flattened token axis AND the
+            # channel axis
+            was = was.reshape(b, h * w, c // 4)
+            was = torch.roll(was, (shift, shift), dims=(1, 2))
+            was = was.reshape(b, h, w, c // 4)
+
+            merged = torch.cat([wa, was, x_grid_attn], dim=-1)
+            merged = self.norm1(self.fc(merged))
+            x = shortcut + merged
+            y2 = self.mlp["fc2"](F.gelu(self.mlp["fc1"](x)))
+            return x + self.norm2(y2)
+
+    class Group(nn.Module):
+        def __init__(self, gi: int):
+            super().__init__()
+            blocks = []
+            for i in range(depths[gi]):
+                if i % 2 == 0:
+                    blocks.append(FusedConv())
+                blocks.append(FAB(num_heads[gi],
+                                  0 if i % 2 == 0 else win0 // 2))
+            self.residual_group = nn.ModuleDict({
+                "blocks": nn.ModuleList(blocks),
+                "gab": GABM(num_heads[gi]),
+            })
+            self.residual_group.scale = nn.Parameter(torch.zeros(dim))
+            self.conv = nn.Conv2d(dim, dim, 3, padding=1)
+
+        def forward(self, x):  # BHWC
+            res = x
+            for blk in self.residual_group["blocks"]:
+                x = blk(x)
+            g = self.residual_group["gab"](x)
+            x = x + g * self.residual_group.scale
+            x = self.conv(x.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            return x + res
+
+    class Mirror(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_first = nn.Conv2d(in_chans, dim, 3, padding=1)
+            if patch_norm:
+                self.patch_embed = nn.ModuleDict(
+                    {"norm": nn.LayerNorm(dim, eps=1e-5)})
+            self.layers = nn.ModuleList(
+                Group(gi) for gi in range(len(depths)))
+            self.norm = nn.LayerNorm(dim, eps=1e-5)
+            self.conv_after_body = nn.Conv2d(dim, dim, 3, padding=1)
+            self.conv_before_upsample = nn.Sequential(
+                nn.Conv2d(dim, num_feat, 3, padding=1), nn.LeakyReLU(0.01))
+            ups = []
+            s = scale
+            while s > 1:
+                if s % 2 == 0:
+                    ups += [nn.Conv2d(num_feat, 4 * num_feat, 3, padding=1),
+                            nn.PixelShuffle(2)]
+                    s //= 2
+                else:
+                    ups += [nn.Conv2d(num_feat, 9 * num_feat, 3, padding=1),
+                            nn.PixelShuffle(3)]
+                    s //= 3
+            self.upsample = nn.Sequential(*ups)
+            self.conv_last = nn.Conv2d(num_feat, in_chans, 3, padding=1)
+
+        def forward(self, x):  # NCHW in/out
+            mean = torch.full((1, in_chans, 1, 1), 0.5 if in_chans == 3 else 0.0)
+            b, _, H0, W0 = x.shape
+            ms = max(win0, iv)
+            ph, pw = (-H0) % ms, (-W0) % ms
+            if ph or pw:
+                x = F.pad(x, (0, pw, 0, ph), mode="reflect")
+            x = (x - mean) * img_range
+            feat = self.conv_first(x)
+            h = feat.permute(0, 2, 3, 1)
+            if patch_norm:
+                h = self.patch_embed["norm"](h)
+            for layer in self.layers:
+                h = layer(h)
+            h = self.norm(h)
+            h = self.conv_after_body(h.permute(0, 3, 1, 2)) + feat
+            h = self.conv_before_upsample(h)
+            h = self.conv_last(self.upsample(h))
+            h = h / img_range + mean
+            return h[:, :, : H0 * scale, : W0 * scale]
+
+    return Mirror()
+
+
+def _dat_mirror(opt: dict[str, Any], scale: int):
+    """DAT mirror (BHWC-internal) of neosr_tpu/archs/dat.py — alternating
+    axial-spatial (dual rect-window MSA + DynamicPosBias + AIM) and
+    axial-channel (normalized channel attention + AIM) blocks, SGFN,
+    residual groups.  Reference key layout: dat_arch.py:42-1122.  Shift
+    masks bake to constants at trace time (same convention as the swinir
+    mirror)."""
+    import torch
+    from torch import nn
+    from torch.nn import functional as F
+
+    from neosr_tpu.archs.dat import rect_rel_coords, rect_shift_mask
+
+    dim = opt.get("embed_dim", 180)
+    split_size = tuple(opt.get("split_size", (2, 4)))
+    depth = tuple(opt.get("depth", (2, 2, 2, 2)))
+    num_heads = tuple(opt.get("num_heads", (2, 2, 2, 2)))
+    expansion = opt.get("expansion_factor", 4.0)
+    qkv_bias = opt.get("qkv_bias", True)
+    qk_scale = opt.get("qk_scale", None)
+    upsampler = opt.get("upsampler", "pixelshuffle")
+    resi = opt.get("resi_connection", "1conv")
+    img_range = opt.get("img_range", 1.0)
+    in_chans = opt.get("in_chans", 3)
+    num_feat = 64
+
+    class DPB(nn.Module):
+        def __init__(self, pos_dim: int, heads: int):
+            super().__init__()
+            self.pos_proj = nn.Linear(2, pos_dim)
+            self.pos1 = nn.Sequential(
+                nn.LayerNorm(pos_dim), nn.ReLU(), nn.Linear(pos_dim, pos_dim))
+            self.pos2 = nn.Sequential(
+                nn.LayerNorm(pos_dim), nn.ReLU(), nn.Linear(pos_dim, pos_dim))
+            self.pos3 = nn.Sequential(
+                nn.LayerNorm(pos_dim), nn.ReLU(), nn.Linear(pos_dim, heads))
+
+        def forward(self, biases):
+            return self.pos3(self.pos2(self.pos1(self.pos_proj(biases))))
+
+    class Branch(nn.Module):
+        def __init__(self, bdim: int, hs: int, ws: int, heads: int):
+            super().__init__()
+            self.bdim, self.hs, self.ws, self.heads = bdim, hs, ws, heads
+            self.pos = DPB(max(bdim // 16, 1), heads)
+
+        def forward(self, qkv_sp, mask=None):
+            hs, ws, heads, bdim = self.hs, self.ws, self.heads, self.bdim
+            b, h, w, _ = qkv_sp.shape
+            d = bdim // heads
+            scale_ = qk_scale or d**-0.5
+            t = qkv_sp.view(b, h // hs, hs, w // ws, ws, 3 * bdim)
+            t = t.permute(0, 1, 3, 2, 4, 5).reshape(-1, hs * ws, 3 * bdim)
+            b_, n, _ = t.shape
+            qkv = t.reshape(b_, n, 3, heads, d).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            biases, idx = rect_rel_coords(hs, ws)
+            pos = self.pos(torch.from_numpy(biases.copy()))
+            bias = pos[torch.from_numpy(idx.reshape(-1).copy()).long()]
+            bias = bias.view(n, n, heads).permute(2, 0, 1)
+            attn = (q * scale_) @ k.transpose(-2, -1) + bias.unsqueeze(0)
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.view(b_ // nw, nw, heads, n, n)
+                attn = attn + mask.unsqueeze(0).unsqueeze(2)
+                attn = attn.view(b_, heads, n, n)
+            attn = torch.softmax(attn, dim=-1)
+            out = (attn @ v).permute(0, 2, 1, 3).reshape(b_, n, bdim)
+            out = out.view(b, h // hs, w // ws, hs, ws, bdim)
+            return out.permute(0, 1, 3, 2, 4, 5).reshape(b, h, w, bdim)
+
+    def add_aim(mod: nn.Module) -> None:
+        """AIM submodules under the reference's flat attn.* names."""
+        mod.dwconv = nn.Sequential(
+            nn.Conv2d(dim, dim, 3, padding=1, groups=dim),
+            nn.BatchNorm2d(dim))
+        mod.channel_interaction = nn.Sequential(
+            nn.AdaptiveAvgPool2d(1),
+            nn.Conv2d(dim, dim // 8, 1), nn.BatchNorm2d(dim // 8),
+            nn.GELU(), nn.Conv2d(dim // 8, dim, 1))
+        mod.spatial_interaction = nn.Sequential(
+            nn.Conv2d(dim, dim // 16, 1), nn.BatchNorm2d(dim // 16),
+            nn.GELU(), nn.Conv2d(dim // 16, 1, 1))
+
+    def aim_conv_branch(mod, v_img):  # BHWC -> BHWC (dw + BN + GELU)
+        cv = mod.dwconv(v_img.permute(0, 3, 1, 2))
+        return F.gelu(cv).permute(0, 2, 3, 1)
+
+    def aim_ch_map(mod, t):  # BHWC (mean over spatial inside)
+        m = t.permute(0, 3, 1, 2).mean((2, 3), keepdim=True)
+        return mod.channel_interaction[4](F.gelu(
+            mod.channel_interaction[2](mod.channel_interaction[1](m))))
+
+    def aim_sp_map(mod, t):  # BHWC -> (b,1,h,w)
+        z = t.permute(0, 3, 1, 2)
+        return mod.spatial_interaction[3](F.gelu(
+            mod.spatial_interaction[1](mod.spatial_interaction[0](z))))
+
+    class SpatialAttn(nn.Module):
+        def __init__(self, heads: int, shift: bool):
+            super().__init__()
+            self.shift = shift
+            self.qkv = nn.Linear(dim, dim * 3, bias=qkv_bias)
+            self.proj = nn.Linear(dim, dim)
+            half = dim // 2
+            self.attns = nn.ModuleList([
+                Branch(half, split_size[0], split_size[1], heads // 2),
+                Branch(half, split_size[1], split_size[0], heads // 2),
+            ])
+            add_aim(self)
+
+        def forward(self, x):  # BHWC
+            b, h, w, c = x.shape
+            s0, s1 = split_size
+            sh, sw = s0 // 2, s1 // 2
+            qkv = self.qkv(x)
+            v_img = qkv[..., 2 * c:]
+            ms = max(s0, s1)
+            pad_b, pad_r = (-h) % ms, (-w) % ms
+            qkv_p = F.pad(qkv.permute(0, 3, 1, 2), (0, pad_r, 0, pad_b)
+                          ).permute(0, 2, 3, 1)
+            hp, wp = h + pad_b, w + pad_r
+            half = c // 2
+
+            def split_qkv(t, lo, hi):
+                return torch.cat([t[..., lo:hi], t[..., c + lo: c + hi],
+                                  t[..., 2 * c + lo: 2 * c + hi]], dim=-1)
+
+            qkv0 = split_qkv(qkv_p, 0, half)
+            qkv1 = split_qkv(qkv_p, half, c)
+            if self.shift and min(hp, wp) > ms:
+                qkv0 = torch.roll(qkv0, (-sh, -sw), dims=(1, 2))
+                qkv1 = torch.roll(qkv1, (-sw, -sh), dims=(1, 2))
+                m0 = torch.from_numpy(rect_shift_mask(hp, wp, s0, s1, sh, sw).copy())
+                m1 = torch.from_numpy(rect_shift_mask(hp, wp, s1, s0, sw, sh).copy())
+                x0 = torch.roll(self.attns[0](qkv0, m0), (sh, sw), dims=(1, 2))
+                x1 = torch.roll(self.attns[1](qkv1, m1), (sw, sh), dims=(1, 2))
+            else:
+                x0 = self.attns[0](qkv0)
+                x1 = self.attns[1](qkv1)
+            attened = torch.cat([x0, x1], dim=-1)[:, :h, :w, :]
+
+            cv = aim_conv_branch(self, v_img)
+            ch = aim_ch_map(self, cv)
+            sp = aim_sp_map(self, attened)
+            attened = attened * torch.sigmoid(ch.permute(0, 2, 3, 1))
+            cv = cv * torch.sigmoid(sp.permute(0, 2, 3, 1))
+            return self.proj(attened + cv)
+
+    class ChannelAttn(nn.Module):
+        def __init__(self, heads: int):
+            super().__init__()
+            self.heads = heads
+            self.qkv = nn.Linear(dim, dim * 3, bias=qkv_bias)
+            self.proj = nn.Linear(dim, dim)
+            self.temperature = nn.Parameter(torch.ones(heads, 1, 1))
+            add_aim(self)
+
+        def forward(self, x):  # BHWC
+            b, h, w, c = x.shape
+            n = h * w
+            d = c // self.heads
+            qkv = self.qkv(x).reshape(b, n, 3, self.heads, d)
+            qkv = qkv.permute(2, 0, 3, 4, 1)  # 3,b,nh,d,n
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            v_img = v.reshape(b, c, n).reshape(b, c, h, w).permute(0, 2, 3, 1)
+            q = q / (q.norm(dim=-1, keepdim=True) + 1e-12)
+            k = k / (k.norm(dim=-1, keepdim=True) + 1e-12)
+            attn = (q @ k.transpose(-2, -1)) * self.temperature
+            attn = torch.softmax(attn, dim=-1)
+            out = (attn @ v).reshape(b, c, n).permute(0, 2, 1).reshape(b, h, w, c)
+            cv = aim_conv_branch(self, v_img)
+            ch = aim_ch_map(self, out)
+            sp = aim_sp_map(self, cv)
+            out = out * torch.sigmoid(sp.permute(0, 2, 3, 1))
+            cv = cv * torch.sigmoid(ch.permute(0, 2, 3, 1))
+            return self.proj(out + cv)
+
+    class SGFN(nn.Module):
+        def __init__(self):
+            super().__init__()
+            hidden = int(dim * expansion)
+            self.fc1 = nn.Linear(dim, hidden)
+            self.sg = nn.ModuleDict({
+                "norm": nn.LayerNorm(hidden // 2),
+                "conv": nn.Conv2d(hidden // 2, hidden // 2, 3, padding=1,
+                                  groups=hidden // 2),
+            })
+            self.fc2 = nn.Linear(hidden // 2, dim)
+
+        def forward(self, x):  # BHWC
+            h = F.gelu(self.fc1(x))
+            x1, x2 = h.chunk(2, dim=-1)
+            x2 = self.sg["norm"](x2)
+            x2 = self.sg["conv"](x2.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            return self.fc2(x1 * x2)
+
+    class Block(nn.Module):
+        def __init__(self, rg_idx: int, b_idx: int, heads: int):
+            super().__init__()
+            self.norm1 = nn.LayerNorm(dim, eps=1e-5)
+            self.norm2 = nn.LayerNorm(dim, eps=1e-5)
+            shift = (rg_idx % 2 == 0 and b_idx > 0 and (b_idx - 2) % 4 == 0) or (
+                rg_idx % 2 != 0 and b_idx % 4 == 0)
+            self.attn = (SpatialAttn(heads, shift) if b_idx % 2 == 0
+                         else ChannelAttn(heads))
+            self.ffn = SGFN()
+
+        def forward(self, x):
+            x = x + self.attn(self.norm1(x))
+            return x + self.ffn(self.norm2(x))
+
+    class Group(nn.Module):
+        def __init__(self, rg_idx: int, d: int, heads: int):
+            super().__init__()
+            self.blocks = nn.ModuleList(
+                Block(rg_idx, i, heads) for i in range(d))
+            if resi == "1conv":
+                self.conv = nn.Conv2d(dim, dim, 3, padding=1)
+            else:
+                msg = "dat mirror supports resi_connection='1conv' only"
+                raise ValueError(msg)
+
+        def forward(self, x):  # BHWC
+            res = x
+            for blk in self.blocks:
+                x = blk(x)
+            x = self.conv(x.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            return x + res
+
+    class Mirror(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_first = nn.Conv2d(in_chans, dim, 3, padding=1)
+            self.before_RG = nn.Sequential(
+                nn.Identity(), nn.LayerNorm(dim, eps=1e-5))
+            self.layers = nn.ModuleList(
+                Group(g, depth[g], num_heads[g]) for g in range(len(depth)))
+            self.norm = nn.LayerNorm(dim, eps=1e-5)
+            self.conv_after_body = nn.Conv2d(dim, dim, 3, padding=1)
+            if upsampler == "pixelshuffle":
+                self.conv_before_upsample = nn.Sequential(
+                    nn.Conv2d(dim, num_feat, 3, padding=1), nn.LeakyReLU(0.01))
+                ups = []
+                s = scale
+                while s > 1:
+                    if s % 2 == 0:
+                        ups += [nn.Conv2d(num_feat, 4 * num_feat, 3, padding=1),
+                                nn.PixelShuffle(2)]
+                        s //= 2
+                    else:
+                        ups += [nn.Conv2d(num_feat, 9 * num_feat, 3, padding=1),
+                                nn.PixelShuffle(3)]
+                        s //= 3
+                self.upsample = nn.Sequential(*ups)
+                self.conv_last = nn.Conv2d(num_feat, in_chans, 3, padding=1)
+            else:
+                self.upsample = nn.Sequential(
+                    nn.Conv2d(dim, in_chans * scale**2, 3, padding=1),
+                    nn.PixelShuffle(scale))
+
+        def forward(self, x):  # NCHW in/out
+            mean = torch.full((1, in_chans, 1, 1), 0.5 if in_chans == 3 else 0.0)
+            x = (x - mean) * img_range
+            feat = self.conv_first(x)
+            h = self.before_RG[1](feat.permute(0, 2, 3, 1))
+            for layer in self.layers:
+                h = layer(h)
+            h = self.norm(h)
+            h = self.conv_after_body(h.permute(0, 3, 1, 2)) + feat
+            if upsampler == "pixelshuffle":
+                h = self.conv_before_upsample(h)
+                h = self.conv_last(self.upsample(h))
+            else:
+                h = self.upsample(h)
+            return h / img_range + mean
+
+    return Mirror()
+
+
+def _dctlsa_mirror(opt: dict[str, Any], scale: int):
+    """DCTLSA mirror (BHWC-internal) of neosr_tpu/archs/dctlsa.py — linear
+    window attention (softmax over keys) with BN LocalModule, dense-fused
+    LSAB groups.  Reference key layout: dctlsa_arch.py:12-593."""
+    import torch
+    from torch import nn
+    from torch.nn import functional as F
+
+    nf = opt.get("nf", 55)
+    num_modules = opt.get("num_modules", 6)
+    num_head = opt.get("num_head", 5)
+    out_nc = opt.get("out_nc", 3)
+    win = 16
+
+    def bn_bhwc(bn: nn.BatchNorm2d, x):
+        return bn(x.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+
+    class LocalModule(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.pointwise_prenorm_0 = nn.BatchNorm2d(nf)
+            self.pointwise_conv_0 = nn.Conv2d(nf, nf, 1, bias=False)
+            self.depthwise_conv = nn.Conv2d(nf, nf, 3, padding=1, groups=nf,
+                                            bias=False)
+            self.pointwise_prenorm_1 = nn.BatchNorm2d(nf)
+            self.pointwise_conv_1 = nn.Conv2d(nf, nf, 1, bias=False)
+
+        def forward(self, x):  # BHWC
+            h = bn_bhwc(self.pointwise_prenorm_0, x).permute(0, 3, 1, 2)
+            h = self.depthwise_conv(self.pointwise_conv_0(h))
+            h = bn_bhwc(self.pointwise_prenorm_1, h.permute(0, 2, 3, 1))
+            return self.pointwise_conv_1(h.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+
+    class Attn(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.qkv = nn.Linear(nf, nf * 3, bias=True)
+            self.proj = nn.Linear(nf, nf)
+            self.local = LocalModule()
+
+        def forward(self, x):  # BHWC
+            b, h, w, c = x.shape
+            ws = min(win, h, w)
+            local = self.local(x) + x
+            qkv = self.qkv(local)  # (b,h,w,3c)
+            # window partition
+            qkv = qkv.view(b, h // ws, ws, w // ws, ws, 3 * c)
+            qkv = qkv.permute(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, 3 * c)
+            b_, n, _ = qkv.shape
+            d = c // num_head
+            qkv = qkv.reshape(b_, n, 3, num_head, d).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            k = torch.softmax(k, dim=-2)
+            q = q * d**-0.5
+            assoc = k.transpose(-2, -1) @ v
+            out = (q @ assoc).permute(0, 2, 1, 3).reshape(b_, n, c)
+            out = self.proj(out)
+            out = out.view(b, h // ws, w // ws, ws, ws, c)
+            out = out.permute(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
+            return out + local
+
+    class Block(nn.Module):
+        def __init__(self, shift: int):
+            super().__init__()
+            self.shift = shift
+            self.attn = Attn()
+            self.mlp = nn.ModuleDict({
+                "fc1": nn.Linear(nf, int(nf * 2.0)),
+                "fc2": nn.Linear(int(nf * 2.0), nf),
+            })
+
+        def forward(self, x):  # BHWC
+            s = self.shift
+            sx = torch.roll(x, (-s, -s), dims=(1, 2)) if s else x
+            sx = self.attn(sx)
+            x = torch.roll(sx, (s, s), dims=(1, 2)) if s else sx
+            return x + self.mlp["fc2"](F.gelu(self.mlp["fc1"](x)))
+
+    class SwinT(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.patch_embed = nn.ModuleDict({"norm": nn.LayerNorm(nf, eps=1e-5)})
+            self.blocks = nn.ModuleList(
+                [Block(0), Block(win // 2)])
+
+        def forward(self, x):  # BHWC
+            b, h, w, c = x.shape
+            ph, pw = (-h) % win, (-w) % win
+            if ph or pw:
+                x = F.pad(x.permute(0, 3, 1, 2), (0, pw, 0, ph),
+                          mode="reflect").permute(0, 2, 3, 1)
+            x = self.patch_embed["norm"](x)
+            for blk in self.blocks:
+                x = blk(x)
+            if ph or pw:
+                x = x[:, :h, :w, :]
+            return x
+
+    class TB(nn.Module):  # B{g}.body.{i}.transformer_body.0 wrapper
+        def __init__(self):
+            super().__init__()
+            self.transformer_body = nn.ModuleList([SwinT()])
+
+        def forward(self, x):
+            return self.transformer_body[0](x)
+
+    class Mirror(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fea_conv = nn.Conv2d(3, nf, 3, padding=1)
+            for g in range(num_modules):
+                setattr(self, f"B{g + 1}",
+                        nn.ModuleDict({"body": nn.ModuleList([TB(), TB()])}))
+            for n in range(1, num_modules):
+                setattr(self, f"c{n}",
+                        nn.Sequential(nn.Conv2d(nf * (n + 1), nf, 1)))
+            self.c = nn.Sequential(nn.Conv2d(nf * num_modules, nf, 1))
+            self.LR_conv = nn.Conv2d(nf, nf, 3, padding=1)
+            self.upsampler = nn.Sequential(
+                nn.Conv2d(nf, out_nc * scale**2, 3, padding=1),
+                nn.PixelShuffle(scale))
+
+        def forward(self, x):  # NCHW in/out
+            fea = self.fea_conv(x).permute(0, 2, 3, 1)
+            outs = []
+            cat = fea
+            cur = fea
+            for i in range(num_modules):
+                group = getattr(self, f"B{i + 1}")
+                b = group["body"][1](group["body"][0](cur))
+                outs.append(b)
+                cat = torch.cat([cat, b], dim=-1)
+                if i < num_modules - 1:
+                    fuse = getattr(self, f"c{i + 1}")
+                    cur = F.leaky_relu(
+                        fuse(cat.permute(0, 3, 1, 2)).permute(0, 2, 3, 1),
+                        0.05)
+            out_b = F.leaky_relu(
+                self.c(torch.cat(outs, dim=-1).permute(0, 3, 1, 2)), 0.05)
+            out_lr = self.LR_conv(out_b) + fea.permute(0, 3, 1, 2)
+            return self.upsampler(out_lr)
+
+    return Mirror()
+
+
+def _eimn_mirror(opt: dict[str, Any], scale: int):
+    """EIMN mirror (NCHW torch) of neosr_tpu/archs/eimn.py — MOLRCM
+    multi-dilated depthwise attention, SADFFM gated FFN with DFFM, BN in
+    eval mode (running stats loaded via the batch_stats side-channel).
+    Reference key layout: eimn_arch.py:48-319."""
+    import torch
+    from torch import nn
+    from torch.nn import functional as F
+
+    dim = opt.get("embed_dims", 64)
+    depths = opt.get("depths", 1)
+    num_stages = opt.get("num_stages", 16)
+    mlp_ratio = opt.get("mlp_ratios", 2.66)
+
+    class MOLRCM(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = int((3 / 8) * dim)
+            self.c2 = int((1 / 8) * dim)
+            self.proj_value = nn.Sequential(nn.Conv2d(dim, dim, 1))
+            self.proj_query = nn.Sequential(nn.Conv2d(dim, dim, 1))
+            self.region = nn.Conv2d(dim, dim, 5, padding=2, groups=dim)
+            self.spatial_1 = nn.Conv2d(
+                self.c1, self.c1, 5, padding=4, dilation=2, groups=self.c1)
+            c3 = dim - self.c1 - self.c2
+            self.spatial_2 = nn.Conv2d(
+                c3, c3, 7, padding=9, dilation=3, groups=c3)
+            self.fusion = nn.Conv2d(dim, dim, 1)
+            self.out = nn.Conv2d(dim, dim, 1)
+
+        def forward(self, x):
+            value = self.proj_value(x)
+            query = self.region(F.gelu(self.proj_query(x)))
+            q1 = self.spatial_1(query[:, : self.c1])
+            q2 = query[:, self.c1 : self.c1 + self.c2]
+            q3 = self.spatial_2(query[:, self.c1 + self.c2 :])
+            fused = self.fusion(torch.cat([q1, q2, q3], dim=1))
+            return self.out(F.silu(fused) * value)
+
+    class DFFM(nn.Module):
+        def __init__(self):
+            super().__init__()
+            rc = int(dim * 0.25)
+            self.norm = nn.LayerNorm(dim, eps=1e-6)
+            self.global_reduce = nn.Conv2d(dim, rc, 1)
+            self.local_reduce = nn.Conv2d(dim, rc, 1)
+            self.channel_expand = nn.Conv2d(rc, dim, 1)
+            self.spatial_expand = nn.Conv2d(2 * rc, 1, 1)
+
+        def forward(self, x):
+            identity = x
+            x = self.norm(x.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+            x_global = F.gelu(self.global_reduce(x.mean((2, 3), keepdim=True)))
+            x_local = F.gelu(self.local_reduce(x))
+            c_attn = torch.sigmoid(self.channel_expand(x_global))
+            g = x_global.expand(-1, -1, *x_local.shape[2:])
+            s_attn = torch.sigmoid(
+                self.spatial_expand(torch.cat([x_local, g], dim=1)))
+            return identity * (c_attn * s_attn)
+
+    class SADFFM(nn.Module):
+        def __init__(self):
+            super().__init__()
+            hidden = int(dim * mlp_ratio)
+            self.linear_in = nn.Conv2d(dim, hidden * 2, 1)
+            self.SAL = nn.Conv2d(hidden * 2, hidden * 2, 3, padding=1,
+                                 groups=hidden * 2)
+            self.linear_out = nn.Conv2d(hidden, dim, 1)
+            self.DFFM = DFFM()
+
+        def forward(self, x):
+            x = self.SAL(self.linear_in(x))
+            x1, x2 = x.chunk(2, dim=1)
+            x = self.linear_out(F.gelu(x1) * x2)
+            return self.DFFM(x)
+
+    class Block(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = nn.BatchNorm2d(dim)
+            self.norm2 = nn.BatchNorm2d(dim)
+            self.attn = MOLRCM()
+            self.mlp = SADFFM()
+            self.layer_scale_1 = nn.Parameter(torch.ones(dim))
+            self.layer_scale_2 = nn.Parameter(torch.ones(dim))
+
+        def forward(self, x):
+            x = x + self.layer_scale_1.view(1, -1, 1, 1) * self.attn(self.norm1(x))
+            return x + self.layer_scale_2.view(1, -1, 1, 1) * self.mlp(self.norm2(x))
+
+    class Mirror(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.head = nn.Sequential(nn.Conv2d(3, dim, 3, padding=1))
+            for s in range(1, num_stages + 1):
+                setattr(self, f"block{s}",
+                        nn.ModuleList(Block() for _ in range(depths)))
+                setattr(self, f"norm{s}", nn.LayerNorm(dim, eps=1e-5))
+            self.tail = nn.Sequential(nn.Conv2d(dim, 3 * scale**2, 3, padding=1))
+            self.shuffle = nn.PixelShuffle(scale)
+
+        def forward(self, x):
+            h = self.head(x)
+            identity = h
+            for s in range(1, num_stages + 1):
+                for blk in getattr(self, f"block{s}"):
+                    h = blk(h)
+                norm = getattr(self, f"norm{s}")
+                h = norm(h.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+            return self.shuffle(self.tail(identity + h))
+
+    return Mirror()
+
+
 _MIRRORS = {
     "compact": _compact_mirror,
     "span": _span_mirror,
@@ -3003,6 +3857,10 @@ _MIRRORS = {
     "grformer": _grformer_mirror,
     "rgt": _rgt_mirror,
     "omnisr": _omnisr_mirror,
+    "eimn": _eimn_mirror,
+    "dctlsa": _dctlsa_mirror,
+    "dat": _dat_mirror,
+    "hma": _hma_mirror,
 }
 
 
@@ -3011,7 +3869,7 @@ def mirror_families() -> tuple[str, ...]:
 
 
 def build_torch_mirror(arch_type: str, net_opt: dict[str, Any], scale: int,
-                       flax_params) -> "Any":
+                       flax_params, batch_stats=None) -> "Any":
     """Build a torch module computing the same function as the flax net.
 
     `flax_params` is the live flax param pytree; weights are routed through
@@ -3030,7 +3888,7 @@ def build_torch_mirror(arch_type: str, net_opt: dict[str, Any], scale: int,
         )
         raise ValueError(msg)
     mirror = _MIRRORS[fam](net_opt, scale)
-    sd = to_torch_state_dict(flax_params, arch_type)
+    sd = to_torch_state_dict(flax_params, arch_type, batch_stats=batch_stats)
     tensors = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
     missing, unexpected = mirror.load_state_dict(tensors, strict=False)
     if missing:  # unexpected keys are fine (train-branch weights, markers)

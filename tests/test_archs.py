@@ -48,3 +48,60 @@ def test_arch_forward(name, opts, scale):
     y = jax.jit(lambda p, v: net.apply(p, v))(params, x)
     assert y.shape == (1, 16 * scale, 16 * scale, 3), f"{name}: {y.shape}"
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_esrgan_dense_block_custom_vjp_grads():
+    """The MXU-packed dense block uses a custom VJP (wide-lane input and
+    weight grads); its gradients must match autodiff of the textbook
+    concat formulation exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neosr_tpu.archs.esrgan import _dense_block
+
+    c, g = 16, 8
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(2, 6, 6, c)).astype(np.float32))
+    ins = [c, c + g, c + 2 * g, c + 3 * g, c + 4 * g]
+    outs = [g, g, g, g, c]
+    Ws = tuple(
+        jnp.asarray(rng.normal(0, 0.1, (3, 3, ins[k], outs[k])).astype(np.float32))
+        for k in range(5)
+    )
+    bs = tuple(
+        jnp.asarray(rng.normal(0, 0.1, (outs[k],)).astype(np.float32))
+        for k in range(5)
+    )
+
+    def conv(xx, w):
+        return jax.lax.conv_general_dilated(
+            xx, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def naive(Ws, bs, x):
+        lrelu = lambda v: jax.nn.leaky_relu(v, 0.2)
+        x1 = lrelu(conv(x, Ws[0]) + bs[0])
+        x2 = lrelu(conv(jnp.concatenate([x, x1], -1), Ws[1]) + bs[1])
+        x3 = lrelu(conv(jnp.concatenate([x, x1, x2], -1), Ws[2]) + bs[2])
+        x4 = lrelu(conv(jnp.concatenate([x, x1, x2, x3], -1), Ws[3]) + bs[3])
+        return conv(jnp.concatenate([x, x1, x2, x3, x4], -1), Ws[4]) + bs[4]
+
+    cot = jnp.asarray(rng.normal(size=(2, 6, 6, c)).astype(np.float32))
+
+    out_p = _dense_block(Ws, bs, x, c, g, jnp.float32)
+    out_n = naive(Ws, bs, x)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_n),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss_p(Ws, bs, x):
+        return (_dense_block(Ws, bs, x, c, g, jnp.float32) * cot).sum()
+
+    def loss_n(Ws, bs, x):
+        return (naive(Ws, bs, x) * cot).sum()
+
+    gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2)))(Ws, bs, x)
+    gn = jax.jit(jax.grad(loss_n, argnums=(0, 1, 2)))(Ws, bs, x)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gn), strict=True):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-4)

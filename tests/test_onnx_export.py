@@ -62,6 +62,17 @@ CASES = [
              "drop_path_rate": 0.0}, 4),
     ("omnisr_net", {"num_feat": 16, "res_num": 2, "block_num": 1,
                     "window_size": 8, "upsampling": 4, "pe": True}, 4),
+    ("eimn", {"embed_dims": 16, "num_stages": 2, "depths": 1}, 4),
+    ("dctlsa", {"nf": 16, "num_head": 2}, 4),
+    ("dat", {"embed_dim": 32, "depth": [2, 2], "num_heads": [4, 4],
+             "split_size": [2, 4], "expansion_factor": 2.0,
+             "upsampler": "pixelshuffle"}, 4),
+    ("dat", {"embed_dim": 32, "depth": [2], "num_heads": [4],
+             "split_size": [2, 4], "expansion_factor": 2.0,
+             "upsampler": "pixelshuffledirect"}, 4),
+    ("hma", {"embed_dim": 32, "depths": [2, 2], "num_heads": [2, 2],
+             "window_size": 8, "interval_size": 4, "mlp_ratio": 1.0,
+             "drop_path_rate": 0.0}, 4),
 ]
 
 
@@ -76,15 +87,28 @@ def test_mirror_parity_and_onnx(arch, opt, scale, tmp_path):
 
     net = build_network({"type": arch, **opt}, scale=scale, dtype=jnp.float32)
     x = np.random.default_rng(0).random((1, 24, 24, 3), np.float32)
-    params = net.init(jax.random.key(0), jnp.asarray(x))["params"]
-    want = np.asarray(net.apply({"params": params}, jnp.asarray(x)))
+    variables = net.init(jax.random.key(0), jnp.asarray(x))
+    params = variables["params"]
+    bstats = dict(variables.get("batch_stats", {}))
+    if bstats:  # BN archs: randomize running stats so eval mode is real
+        rng = np.random.default_rng(13)
+        bstats = jax.tree_util.tree_map_with_path(
+            lambda p, l: jnp.asarray(
+                rng.normal(0.0, 0.5, l.shape).astype(np.float32)
+                if p[-1].key == "mean"
+                else rng.uniform(0.5, 1.5, l.shape).astype(np.float32)),
+            bstats)
+    apply_vars = {"params": params, **({"batch_stats": bstats} if bstats else {})}
+    want = np.asarray(net.apply(apply_vars, jnp.asarray(x)))
 
-    mirror = build_torch_mirror(arch, opt, scale, params)
+    mirror = build_torch_mirror(arch, opt, scale, params,
+                                batch_stats=bstats or None)
     with torch.inference_mode():
         got = mirror(torch.from_numpy(x.transpose(0, 3, 1, 2).copy())).numpy()
     # rgt's recursive reduction + long-range attention accumulate a bit
-    # more fp32 noise than the window transformers
-    atol = 3e-4 if arch == "rgt" else 1e-5
+    # more fp32 noise than the window transformers; dctlsa's dense
+    # concats drive random-init outputs to ~±130, scaling the noise up
+    atol = {"rgt": 3e-4, "dctlsa": 8e-3, "dat": 2e-4}.get(arch, 1e-5)
     np.testing.assert_allclose(got.transpose(0, 2, 3, 1), want,
                                rtol=1e-4, atol=atol)
 
