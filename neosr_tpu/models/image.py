@@ -127,12 +127,16 @@ class image(base):
         # normalize in-graph so val batches also transfer 4x cheaper.
         # BN archs get their running statistics alongside the params
         # (torch .eval() semantics — reference dat_arch.py:386-398).
-        def _eval_apply(variables, x):
+        def _eval_apply(variables, x, ph=0, pw=0):
             if jnp.issubdtype(x.dtype, jnp.integer):
                 x = x.astype(jnp.float32) / 255.0
+            if ph or pw:
+                # reflect-pad IN-GRAPH: no host round-trip per image
+                x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                            mode="reflect")
             return self.net_g.apply(variables, x).astype(jnp.float32)
 
-        self._apply_fn = jax.jit(_eval_apply)
+        self._apply_fn = jax.jit(_eval_apply, static_argnums=(2, 3))
 
     # ------------------------------------------------------------ training
     def _init_training_settings(self, train_opt: dict[str, Any]) -> None:
@@ -657,20 +661,23 @@ class image(base):
             self.output = self._tiled_forward(params, lq, tile)
 
     def _padded_forward(self, params, lq, multiple: int = 64):
-        """Pad H/W up to a bucket multiple (limits recompiles), then crop."""
+        """Pad H/W up to a bucket multiple (limits recompiles), then crop.
+        Padding happens inside the jitted forward (reflect in-graph), so
+        there is no per-image device->host->device round-trip."""
         n, h, w, c = lq.shape
         ph = -h % multiple
         pw = -w % multiple
-        if ph or pw:
-            lq = np.asarray(jax.device_get(lq))
-            lq = np.pad(lq, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
-        out = self._apply_fn(params, lq)
+        out = self._apply_fn(params, lq, ph, pw)
         s = self.scale
         return out[:, : h * s, : w * s, :]
 
-    def _tiled_forward(self, params, lq, tile: int, overlap: int = 16):
+    def _tiled_forward(self, params, lq, tile: int, overlap: int = 16,
+                       tile_batch: int = 8):
         """Overlapping-tile inference with seam cropping (reference
-        image.py:684-784 semantics, static tile shapes for one compile)."""
+        image.py:684-784 semantics).  Tiles are stacked and run through the
+        net in fixed-size batches (`tile_batch`, padded on the last chunk),
+        so the device sees one compile and ~T/tile_batch dispatches instead
+        of a sync per tile."""
         n, h, w, c = lq.shape
         s = self.scale
         lq_np = np.asarray(jax.device_get(lq))
@@ -681,6 +688,10 @@ class image(base):
             overlap = 0
         ys = list(range(0, max(h - overlap, 1), step))
         xs = list(range(0, max(w - overlap, 1), step))
+
+        # gather every (possibly edge-padded) tile for every batch image
+        patches: list[np.ndarray] = []
+        meta: list[tuple[int, int, int, int, int]] = []
         for y0 in ys:
             for x0 in xs:
                 y1, x1 = min(y0 + tile, h), min(x0 + tile, w)
@@ -690,15 +701,30 @@ class image(base):
                 pad_w = tile - patch.shape[2]
                 if pad_h or pad_w:
                     patch = np.pad(
-                        patch, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="reflect"
+                        patch, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                        mode="reflect",
                     )
-                sr = np.asarray(self._apply_fn(params, patch))[:, : (y1 - y0c) * s, : (x1 - x0c) * s, :]
-                # valid interior (crop seam overlap except at borders)
-                ty0 = y0c * s + (overlap * s if y0c > 0 else 0)
-                tx0 = x0c * s + (overlap * s if x0c > 0 else 0)
-                sy0 = ty0 - y0c * s
-                sx0 = tx0 - x0c * s
-                out[:, ty0 : y1 * s, tx0 : x1 * s, :] = sr[:, sy0:, sx0:, :]
+                patches.append(patch)
+                meta.append((y0c, x0c, y1, x1, len(patches) - 1))
+        stack = np.concatenate(patches, axis=0)  # (T*n, tile, tile, c)
+        srs = np.empty((stack.shape[0], tile * s, tile * s, c), np.float32)
+        for lo in range(0, stack.shape[0], tile_batch):
+            chunk = stack[lo : lo + tile_batch]
+            pad_n = tile_batch - chunk.shape[0]
+            if pad_n:  # pad the last chunk to the compiled batch size
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], pad_n, axis=0)], axis=0)
+            sr = np.asarray(self._apply_fn(params, chunk))
+            srs[lo : lo + tile_batch] = sr[: tile_batch - pad_n]
+
+        for y0c, x0c, y1, x1, t in meta:
+            sr = srs[t * n : (t + 1) * n, : (y1 - y0c) * s, : (x1 - x0c) * s, :]
+            # valid interior (crop seam overlap except at borders)
+            ty0 = y0c * s + (overlap * s if y0c > 0 else 0)
+            tx0 = x0c * s + (overlap * s if x0c > 0 else 0)
+            sy0 = ty0 - y0c * s
+            sx0 = tx0 - x0c * s
+            out[:, ty0 : y1 * s, tx0 : x1 * s, :] = sr[:, sy0:, sx0:, :]
         return out
 
     def nondist_validation(

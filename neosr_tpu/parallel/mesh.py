@@ -54,26 +54,60 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.device_put(tree, sharding)
 
 
+def _batch_spec(x, spatial: bool):
+    if x.ndim == 4 and spatial:
+        # NHWC: batch over `data`, image height over `space` — the
+        # spatial-parallel (context-parallel analog) layout; GSPMD
+        # inserts halo exchanges for convs/windows over ICI
+        return P("data", "space", None, None)
+    if x.ndim >= 1:
+        return P("data", *([None] * (x.ndim - 1)))
+    return P()
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Place a host batch dict onto the mesh, N sharded over `data`.
 
-    Per-host data loading feeds each process only its shard; on a single
-    host this distributes the global batch across local devices.
+    Per-host data loading feeds each process only its shard.  On a single
+    process this distributes the global batch across local devices via
+    device_put; under `jax.process_count() > 1` each process holds only
+    its slice of the global batch (EnlargedSampler strides by process),
+    so the global array is assembled with
+    `jax.make_array_from_process_local_data` — the multi-host analog of
+    the reference's per-rank DDP feeding (dist_util.py:12-62).
     """
     spatial = mesh.shape.get("space", 1) > 1
+    multiprocess = jax.process_count() > 1
 
     def _place(x):
         if not isinstance(x, jax.Array):
             x = np.asarray(x)
-        if x.ndim == 4 and spatial:
-            # NHWC: batch over `data`, image height over `space` — the
-            # spatial-parallel (context-parallel analog) layout; GSPMD
-            # inserts halo exchanges for convs/windows over ICI
-            spec = P("data", "space", None, None)
-        elif x.ndim >= 1:
-            spec = P("data", *([None] * (x.ndim - 1)))
-        else:
-            spec = P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        spec = _batch_spec(x, spatial)
+        sharding = NamedSharding(mesh, spec)
+        if multiprocess and x.ndim >= 1:
+            # local shard -> global array: x is THIS process's rows of the
+            # global batch; global batch dim = local * process_count
+            global_shape = (x.shape[0] * jax.process_count(), *x.shape[1:])
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x), global_shape
+            )
+        return jax.device_put(x, sharding)
 
     return jax.tree.map(_place, batch)
+
+
+def process_local_slice(global_batch_size: int) -> slice:
+    """The rows of a global batch this process loads (contiguous block
+    layout, consistent with make_array_from_process_local_data's
+    process-major order and EnlargedSampler's per-process striding).
+    """
+    n = jax.process_count()
+    if global_batch_size % n:
+        msg = (
+            f"global batch {global_batch_size} not divisible by "
+            f"{n} processes"
+        )
+        raise ValueError(msg)
+    per = global_batch_size // n
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)

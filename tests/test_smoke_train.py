@@ -309,3 +309,23 @@ def _one_batch(opt):
          "gt": rng.random((ps * s, ps * s, 3)).astype(np.float32)}
         for _ in range(b)
     ])
+
+
+def test_tiled_forward_matches_whole_image(tiny_paired_dataset, tmp_path):
+    """Batched tiled inference must agree with the whole-image forward in
+    tile interiors (overlap crop handles seams; compact's receptive field
+    is far smaller than the 8px overlap; tile 32 keeps step positive)."""
+    import jax
+    import numpy as np
+
+    from neosr_tpu.models import build_model
+
+    opt = make_opt(tiny_paired_dataset, tmp_path)
+    model = build_model(opt)
+    rng = np.random.default_rng(11)
+    lq = rng.random((1, 40, 56, 3)).astype(np.float32)
+    variables = model._eval_variables()
+    whole = np.asarray(model._padded_forward(variables, lq, multiple=8))
+    tiled = model._tiled_forward(variables, lq, tile=32, overlap=8)
+    assert tiled.shape == whole.shape
+    np.testing.assert_allclose(tiled, whole, atol=2e-3, rtol=1e-3)
