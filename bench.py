@@ -10,9 +10,34 @@ ratio when available, else null.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+_T0 = time.monotonic()
+# wall budget for the whole run (driver kills ~30 min in; leave headroom)
+_BUDGET_S = int(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.monotonic() - _T0)
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: repeated driver runs (and the
+    warmup of re-used graphs within one run) skip the multi-minute remote
+    compiles when the backend honors client-side caching."""
+    try:
+        import jax
+
+        cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/root/repo/.jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
 
 
 def _sync(model):
@@ -395,16 +420,38 @@ def bench_esrgan_otf_full(
 def _run_all() -> None:
     """Every north-star metric (BASELINE.md) in one driver record: each
     metric streams as its own JSON line THE MOMENT it finishes (remote
-    compiles can take tens of minutes — a timeout mid-run must not lose
-    completed results), and the final line re-emits the headline (compact,
-    measured FIRST for the same reason) with the others folded into
-    `detail` so a last-line parser sees everything."""
+    compiles can take minutes — a timeout mid-run must not lose completed
+    results), and the final line re-emits the headline (compact, measured
+    FIRST for the same reason) with the others folded into `detail` so a
+    last-line parser sees everything.
+
+    Wall-budget aware (BENCH_BUDGET_S, default 1500 s): before each
+    metric, if the remaining budget is below that metric's worst-observed
+    compile+run cost, it is skipped WITH A NOTE instead of dying rc=124
+    mid-compile.  Order = cost-ascending after the headline, so cheap
+    metrics always land."""
     import sys as _sys
 
+    _enable_compile_cache()
     headline = None
     extras = {}
-    for fn in (bench_compact_train, bench_esrgan_otf_train, bench_otf_degrade,
-               bench_esrgan_otf_full, bench_transformer_train):
+    # (fn, worst-case compile+run seconds observed over the tunnel)
+    plan = [
+        (bench_compact_train, 120),
+        (bench_otf_degrade, 120),
+        (bench_transformer_train, 420),
+        (bench_esrgan_otf_train, 420),
+        (bench_esrgan_otf_full, 700),
+    ]
+    for fn, est in plan:
+        if fn is not bench_compact_train and _remaining() < est:
+            r = {"metric": getattr(fn, "__name__", "?"), "value": None,
+                 "unit": "skipped", "vs_baseline": None,
+                 "detail": {"skipped": f"budget: {_remaining():.0f}s left "
+                                       f"< {est}s estimate"}}
+            print(json.dumps(r), flush=True)
+            _sys.stderr.write(f"[bench] {r['metric']} SKIPPED (budget)\n")
+            continue
         try:
             r = fn()
         except Exception as e:  # noqa: BLE001 — a dead sub-bench must not hide the rest
@@ -412,7 +459,8 @@ def _run_all() -> None:
                  "unit": "error", "vs_baseline": None,
                  "detail": {"error": repr(e)[:300]}}
         print(json.dumps(r), flush=True)
-        _sys.stderr.write(f"[bench] {r['metric']} done\n")
+        _sys.stderr.write(f"[bench] {r['metric']} done "
+                          f"({_remaining():.0f}s budget left)\n")
         if fn is bench_compact_train:
             headline = r
         elif r["value"] is not None:
@@ -425,6 +473,7 @@ def _run_all() -> None:
 if __name__ == "__main__":
     import sys
 
+    _enable_compile_cache()
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which == "all":
         _run_all()

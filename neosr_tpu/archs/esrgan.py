@@ -169,6 +169,10 @@ def _dense_block_bwd(c, g, dtype, res, g_out):
 
 _dense_block.defvjp(_dense_block_fwd, _dense_block_bwd)
 
+# escape hatch for perf experiments: ESRGAN_CUSTOM_VJP=0 falls back to
+# XLA autodiff of the packed forward
+_USE_CUSTOM_VJP = __import__("os").environ.get("ESRGAN_CUSTOM_VJP", "1") != "0"
+
 
 class ResidualDenseBlock(nn.Module):
     """Dense block restructured for the MXU.
@@ -198,7 +202,11 @@ class ResidualDenseBlock(nn.Module):
             _Conv2dParams(outs[k], ins[k], init, name=f"Conv2d_{k}")()
             for k in range(5)
         ), strict=True)
-        x5 = _dense_block(tuple(weights), tuple(biases), x, c, g, self.dtype)
+        if _USE_CUSTOM_VJP:
+            x5 = _dense_block(tuple(weights), tuple(biases), x, c, g, self.dtype)
+        else:
+            x5 = _dense_pieces_fwd(tuple(weights), tuple(biases), x, c, g,
+                                   self.dtype)[0]
         return x5 * 0.2 + x
 
 

@@ -91,8 +91,24 @@ class dists_loss:
 
         self._trunk = _DISTSTrunk()
         params = self._trunk.init(jax.random.key(3), jnp.zeros((1, 64, 64, 3)))["params"]
+        if not vgg_weights_path:
+            from neosr_tpu.losses.vgg import find_torchvision_vgg
+
+            cached = find_torchvision_vgg("vgg16")
+            if cached:
+                logger.info(f"Using torchvision cache weights: {cached}")
+                vgg_weights_path = cached
         if vgg_weights_path:
-            loaded = dict(np.load(vgg_weights_path))
+            from neosr_tpu.losses.vgg import (
+                _torchvision_pth_to_npz_dict,
+                verify_sha256,
+            )
+
+            verify_sha256(vgg_weights_path, kwargs.get("vgg_weights_sha256"))
+            if str(vgg_weights_path).endswith((".pth", ".pt")):
+                loaded = _torchvision_pth_to_npz_dict("vgg16", vgg_weights_path)
+            else:
+                loaded = dict(np.load(vgg_weights_path))
             params = {
                 layer: {
                     "kernel": jnp.asarray(loaded[f"{layer}.kernel"]).reshape(p["kernel"].shape),

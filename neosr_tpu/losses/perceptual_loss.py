@@ -70,6 +70,7 @@ class vgg_perceptual_loss:
         patch_weight: float = 1.0,
         scale: int = 4,
         weights_path: str | None = None,
+        weights_sha256: str | None = None,
         **kwargs: Any,
     ) -> None:
         self.loss_weight = loss_weight
@@ -96,7 +97,7 @@ class vgg_perceptual_loss:
 
         self.extract, _ = build_feature_extractor(
             list(self.layer_weights.keys()), vgg_type, use_input_norm, range_norm,
-            weights_path,
+            weights_path, weights_sha256,
         )
 
         crits = {"l1": l1_loss, "l2": mse_loss, "huber": huber_loss}

@@ -69,12 +69,72 @@ class VGGFeatures(nn.Module):
         return feats
 
 
+def verify_sha256(path: str, expected: str | None) -> None:
+    """Optional integrity gate for pretrained-weight files: always logs the
+    file's sha256; errors when an expected digest is configured and differs
+    (weights are the one externally-supplied artifact — a silent swap would
+    corrupt every perceptual-trained model)."""
+    import hashlib
+    from pathlib import Path
+
+    digest = hashlib.sha256(Path(path).read_bytes()).hexdigest()
+    get_root_logger().info(f"weights sha256 {digest}  {path}")
+    if expected and digest.lower() != expected.lower():
+        msg = (
+            f"weights checksum mismatch for {path}: got {digest}, "
+            f"expected {expected}"
+        )
+        raise ValueError(msg)
+
+
+def find_torchvision_vgg(vgg_type: str) -> str | None:
+    """Auto-detect a locally cached torchvision VGG .pth (zero-egress envs
+    can pre-seed ~/.cache/torch/hub/checkpoints); returns a path or None."""
+    import glob
+    import os
+
+    hubs = [
+        os.path.join(os.environ.get("TORCH_HOME", ""), "hub", "checkpoints"),
+        os.path.expanduser("~/.cache/torch/hub/checkpoints"),
+    ]
+    for hub in hubs:
+        if not hub or not os.path.isdir(hub):
+            continue
+        hits = sorted(glob.glob(os.path.join(hub, f"{vgg_type}-*.pth")))
+        if hits:
+            return hits[0]
+    return None
+
+
+def _torchvision_pth_to_npz_dict(vgg_type: str, path: str) -> dict:
+    """Convert a torchvision VGG .pth state_dict to our npz key layout
+    (same mapping as tools/convert_vgg_weights.py, in-process)."""
+    import torch
+
+    configs = {
+        "vgg19": ((64, 2), (128, 2), (256, 4), (512, 4), (512, 4)),
+        "vgg16": ((64, 2), (128, 2), (256, 3), (512, 3), (512, 3)),
+    }
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    out: dict[str, np.ndarray] = {}
+    idx = 0
+    for stage, (_ch, n_convs) in enumerate(configs[vgg_type], start=1):
+        for i in range(1, n_convs + 1):
+            w = sd[f"features.{idx}.weight"].numpy()
+            out[f"conv{stage}_{i}.kernel"] = w.transpose(2, 3, 1, 0)
+            out[f"conv{stage}_{i}.bias"] = sd[f"features.{idx}.bias"].numpy()
+            idx += 2
+        idx += 1
+    return out
+
+
 def build_feature_extractor(
     layer_names: Sequence[str],
     vgg_type: str = "vgg19",
     use_input_norm: bool = True,
     range_norm: bool = False,
     weights_path: str | None = None,
+    weights_sha256: str | None = None,
 ):
     """Returns (pure_fn(x) -> {name: feat}, params). Params are constants
     (closed over / stop-gradient at the call site)."""
@@ -84,8 +144,18 @@ def build_feature_extractor(
     )
     params = module.init(jax.random.key(7), jnp.zeros((1, 64, 64, 3)))["params"]
 
+    if not weights_path:
+        cached = find_torchvision_vgg(vgg_type)
+        if cached:
+            logger.info(f"Using torchvision cache weights: {cached}")
+            weights_path = cached
+
     if weights_path:
-        loaded = dict(np.load(weights_path))
+        verify_sha256(weights_path, weights_sha256)
+        if str(weights_path).endswith((".pth", ".pt")):
+            loaded = _torchvision_pth_to_npz_dict(vgg_type, weights_path)
+        else:
+            loaded = dict(np.load(weights_path))
         grafted = {}
         for layer, p in params.items():
             kernel = loaded.get(f"{layer}.kernel")
@@ -102,8 +172,11 @@ def build_feature_extractor(
     else:
         logger.warning(
             f"No pretrained {vgg_type} weights available (zero-egress "
-            "environment). Perceptual features use RANDOM weights — supply "
-            "`weights_path` (see tools/convert_vgg_weights.py) for real use."
+            "environment). Perceptual features use RANDOM weights — run "
+            f"`python tools/convert_vgg_weights.py {vgg_type} "
+            f"<torchvision .pth> {vgg_type}_features.npz` offline and set "
+            "`weights_path` in the loss config (or pre-seed "
+            "~/.cache/torch/hub/checkpoints for auto-detection)."
         )
 
     params = jax.lax.stop_gradient(params)

@@ -198,7 +198,11 @@ class image(base):
         self.params_d = None
         self.bstats_d = {}
         if opt.get("network_d") and self.cri_gan is not None:
-            self.net_d = build_network(opt["network_d"], None, self.dtype)
+            net_d_opt = {
+                k: v for k, v in opt["network_d"].items()
+                if k not in ("trunk_weights_path", "trunk_weights_sha256")
+            }
+            self.net_d = build_network(net_d_opt, None, self.dtype)
             logger.info(f"Network [net_d={opt['network_d']['type']}] created.")
             init_rng, self.rng = jax.random.split(self.rng)
             patch = opt["datasets"]["train"].get("patch_size", 48)
@@ -208,6 +212,10 @@ class image(base):
             )
             self.params_d = variables_d["params"]
             self.bstats_d = dict(variables_d.get("batch_stats", {}))
+            trunk_path = opt["network_d"].get("trunk_weights_path")
+            if trunk_path and opt["network_d"].get("type") == "ea2fpn":
+                self._load_ea2fpn_trunk(
+                    trunk_path, opt["network_d"].get("trunk_weights_sha256"))
             load_path_d = opt.get("path", {}).get("pretrain_network_d")
             if load_path_d:
                 self.params_d = self._load_network(
@@ -801,6 +809,46 @@ class image(base):
                 current_iter, dataset_name, tb_logger, metric_results
             )
             self.metric_results = metric_results
+
+    def _load_ea2fpn_trunk(self, path: str, sha256: str | None = None) -> None:
+        """Graft ImageNet ResNet18 weights (torchvision .pth) into the
+        ea2fpn discriminator trunk — the reference builds its trunk from
+        torchvision-pretrained resnet18 (ea2fpn_arch.py:214); config keys
+        [network_d] trunk_weights_path / trunk_weights_sha256."""
+        import torch
+
+        from neosr_tpu.losses.vgg import verify_sha256
+        from neosr_tpu.utils.checkpoint import unflatten_params
+        from neosr_tpu.utils.torch_interop import BATCH_STATS_PREFIX
+        from neosr_tpu.utils.torch_interop_ext import convert_resnet18_trunk
+
+        verify_sha256(path, sha256)
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+        flat = convert_resnet18_trunk(sd)
+        stats_flat = {
+            k[len(BATCH_STATS_PREFIX):]: v
+            for k, v in flat.items() if k.startswith(BATCH_STATS_PREFIX)
+        }
+        params_flat = {
+            k: v for k, v in flat.items()
+            if not k.startswith(BATCH_STATS_PREFIX)
+        }
+        scope = "ResNet18Trunk_0"
+        self.params_d = dict(self.params_d)
+        self.params_d[scope] = jax.tree.map(
+            lambda t, l: jnp.asarray(l).astype(t.dtype).reshape(t.shape),
+            self.params_d[scope], unflatten_params(params_flat),
+        )
+        if stats_flat and scope in self.bstats_d:
+            self.bstats_d = dict(self.bstats_d)
+            self.bstats_d[scope] = jax.tree.map(
+                lambda t, l: jnp.asarray(l).astype(t.dtype).reshape(t.shape),
+                self.bstats_d[scope], unflatten_params(stats_flat),
+            )
+        get_root_logger().info(f"ea2fpn trunk weights loaded from {path}")
 
     # --------------------------------------------------------- checkpoints
     def _load_network(self, target, load_path: str, param_key: str, strict: bool,

@@ -392,3 +392,146 @@ def test_ea2fpn_resnet18_trunk_grafted_parity():
         np.testing.assert_allclose(
             np.asarray(o), t.numpy().transpose(0, 2, 3, 1),
             atol=2e-4, rtol=1e-3, err_msg=f"stage c{k + 1}")
+
+
+def test_weights_path_checksum_and_load(tmp_path):
+    """Config-only pretrained-weights ingestion: weights_path + sha256 gate
+    (VERDICT r2 #8).  Wrong digest must fail loudly; right digest loads and
+    changes the features."""
+    import hashlib
+
+    import jax.numpy as jnp
+    import pytest
+
+    from neosr_tpu.losses.vgg import build_feature_extractor
+
+    rng = np.random.default_rng(0)
+    cfg = {"vgg19": ((64, 2), (128, 2), (256, 4), (512, 4), (512, 4))}
+    arrs = {}
+    for stage, (ch, n) in enumerate(cfg["vgg19"], start=1):
+        cin = 3 if stage == 1 else [64, 64, 128, 256, 512][stage - 1]
+        for i in range(1, n + 1):
+            arrs[f"conv{stage}_{i}.kernel"] = rng.normal(
+                0, 0.05, (3, 3, cin if i == 1 else ch, ch)).astype(np.float32)
+            arrs[f"conv{stage}_{i}.bias"] = np.zeros(ch, np.float32)
+    wpath = tmp_path / "vgg19_features.npz"
+    np.savez(wpath, **arrs)
+    digest = hashlib.sha256(wpath.read_bytes()).hexdigest()
+
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        build_feature_extractor(["conv1_2"], "vgg19",
+                                weights_path=str(wpath),
+                                weights_sha256="0" * 64)
+
+    ex_loaded, _ = build_feature_extractor(
+        ["conv1_2"], "vgg19", weights_path=str(wpath), weights_sha256=digest)
+    ex_random, _ = build_feature_extractor(["conv1_2"], "vgg19")
+    x = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+    a = np.asarray(ex_loaded(x)["conv1_2"])
+    b = np.asarray(ex_random(x)["conv1_2"])
+    assert not np.allclose(a, b)  # supplied weights are actually used
+
+
+def test_torchvision_cache_autodetect(tmp_path, monkeypatch):
+    """A pre-seeded ~/.cache-style torchvision hub dir is picked up without
+    any config."""
+    import torch
+
+    from neosr_tpu.losses.vgg import find_torchvision_vgg
+
+    hub = tmp_path / "hub" / "checkpoints"
+    hub.mkdir(parents=True)
+    # minimal torchvision-layout vgg19 features state_dict
+    sd = {}
+    idx = 0
+    cfg = ((64, 2), (128, 2), (256, 4), (512, 4), (512, 4))
+    cin = 3
+    for _stage, (ch, n) in enumerate(cfg, start=1):
+        for _i in range(n):
+            sd[f"features.{idx}.weight"] = torch.zeros(ch, cin, 3, 3)
+            sd[f"features.{idx}.bias"] = torch.zeros(ch)
+            cin = ch
+            idx += 2
+        idx += 1
+    torch.save(sd, hub / "vgg19-dcbb9e9d.pth")
+    monkeypatch.setenv("TORCH_HOME", str(tmp_path))
+    found = find_torchvision_vgg("vgg19")
+    assert found and found.endswith("vgg19-dcbb9e9d.pth")
+
+    from neosr_tpu.losses.vgg import build_feature_extractor
+
+    ex, _ = build_feature_extractor(["conv1_1"], "vgg19")  # no weights_path
+    import jax.numpy as jnp
+
+    out = np.asarray(ex(jnp.zeros((1, 8, 8, 3)))["conv1_1"])
+    assert np.allclose(out, 0.0)  # the zero kernels prove the cache loaded
+
+
+def test_ea2fpn_trunk_weights_from_config(tmp_path):
+    """[network_d] trunk_weights_path grafts a torchvision-layout resnet18
+    .pth (params + BN running stats) into the discriminator trunk."""
+    import torch
+
+    import jax
+
+    from neosr_tpu.models import build_model
+    from neosr_tpu.utils.options import opt_from_dict
+
+    # torchvision-resnet18-layout state dict (keys conv1, bn1, layerL.B.*)
+    g = torch.Generator().manual_seed(5)
+    sd = {}
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = torch.rand(c, generator=g) + 0.5
+        sd[f"{prefix}.bias"] = torch.randn(c, generator=g) * 0.1
+        sd[f"{prefix}.running_mean"] = torch.randn(c, generator=g) * 0.3
+        sd[f"{prefix}.running_var"] = torch.rand(c, generator=g) + 0.5
+        sd[f"{prefix}.num_batches_tracked"] = torch.tensor(7)
+
+    sd["conv1.weight"] = torch.randn(64, 3, 7, 7, generator=g) * 0.05
+    bn("bn1", 64)
+    chans = [64, 64, 128, 256, 512]
+    for layer in range(1, 5):
+        cin, cout = chans[layer - 1], chans[layer]
+        for b in range(2):
+            p = f"layer{layer}.{b}"
+            c_in = cin if b == 0 else cout
+            sd[f"{p}.conv1.weight"] = torch.randn(cout, c_in, 3, 3, generator=g) * 0.05
+            bn(f"{p}.bn1", cout)
+            sd[f"{p}.conv2.weight"] = torch.randn(cout, cout, 3, 3, generator=g) * 0.05
+            bn(f"{p}.bn2", cout)
+            if b == 0 and cin != cout:
+                sd[f"{p}.downsample.0.weight"] = torch.randn(
+                    cout, cin, 1, 1, generator=g) * 0.05
+                bn(f"{p}.downsample.1", cout)
+    pth = tmp_path / "resnet18.pth"
+    torch.save(sd, pth)
+
+    opt = {
+        "name": "trunk_cfg", "model_type": "image", "scale": 1,
+        "num_gpu": 1, "manual_seed": 3,
+        "datasets": {"train": {"type": "paired", "phase": "train",
+                               "patch_size": 32, "batch_size": 2}},
+        "network_g": {"type": "compact", "num_feat": 16, "num_conv": 2},
+        "network_d": {"type": "ea2fpn", "trunk_weights_path": str(pth)},
+        "path": {},
+        "train": {
+            "ema": -1,
+            "optim_g": {"type": "adamw", "lr": 1e-3},
+            "optim_d": {"type": "adamw", "lr": 1e-3},
+            "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0},
+            "gan_opt": {"type": "gan_loss", "gan_type": "bce",
+                        "loss_weight": 0.1},
+        },
+        "logger": {"total_iter": 10},
+    }
+    opt = opt_from_dict(opt, root_path=str(tmp_path), is_train=True)
+    model = build_model(opt)
+    got = np.asarray(
+        jax.device_get(model.params_d["ResNet18Trunk_0"]["Conv_0"]["kernel"]))
+    want = sd["conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    stats = jax.device_get(model.bstats_d["ResNet18Trunk_0"])
+    np.testing.assert_allclose(
+        np.asarray(stats["BatchStatNorm_0"]["mean"]),
+        sd["bn1.running_mean"].numpy(), atol=1e-6)

@@ -153,6 +153,10 @@ type = "calculate_ssim"
 
 [network_d]
 type = "ea2fpn"
+# ImageNet ResNet18 trunk weights (reference uses torchvision-pretrained;
+# supply a torchvision resnet18 .pth for equivalent behavior):
+#trunk_weights_path = "experiments/pretrained/resnet18.pth"
+#trunk_weights_sha256 = "<sha256 of the weights file>"
 
 [train]
 ema = 0.999
@@ -192,6 +196,11 @@ loss_weight = 1.0
 type = "vgg_perceptual_loss"
 loss_weight = 0.5
 criterion = "chc"
+# Pretrained VGG19 features (REQUIRED for meaningful perceptual loss):
+# convert offline with `python tools/convert_vgg_weights.py vgg19 <pth> out.npz`
+# or pre-seed ~/.cache/torch/hub/checkpoints/ for auto-detection.
+#weights_path = "experiments/pretrained/vgg19_features.npz"
+#weights_sha256 = "<sha256 of the weights file>"
 
 [train.gan_opt]
 type = "gan_loss"
@@ -201,6 +210,8 @@ loss_weight = 0.3
 #[train.dists_opt]
 #type = "dists_loss"
 #loss_weight = 0.5
+#vgg_weights_path = "experiments/pretrained/vgg16_features.npz"
+#vgg_weights_sha256 = "<sha256 of the weights file>"
 
 #[train.ldl_opt]
 #type = "ldl_loss"
