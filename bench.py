@@ -341,7 +341,9 @@ def bench_esrgan_otf_full(
             "poisson_scale_range2": [0.05, 0.25], "gray_noise_prob2": 0.3,
             "jpeg_range2": [40, 95],
         }},
-        "network_g": {"type": "esrgan"},
+        "network_g": {"type": "esrgan",
+                      "use_custom_vjp": os.environ.get(
+                          "NEOSR_BENCH_VJP", "0") == "1"},
         "network_d": {"type": "unet"},
         "path": {},
         "train": {

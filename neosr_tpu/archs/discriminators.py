@@ -75,11 +75,23 @@ def _lrelu(x):
 
 def _bilinear_up2(x: jnp.ndarray) -> jnp.ndarray:
     """Exact 2x bilinear upsample (half-pixel centers, edge clamp ==
-    jax.image.resize "bilinear" == torch F.interpolate align_corners=False)
-    as fusible shifts+interleave: out[2i] = .25 x[i-1] + .75 x[i],
-    out[2i+1] = .75 x[i] + .25 x[i+1].  The general gather-based resize
-    measured 9.6 ms/step of the fused GAN graph (trace_esrgan_otf); this
-    form is pure elementwise+reshape and fuses into the surrounding convs."""
+    jax.image.resize "bilinear" == torch F.interpolate align_corners=False).
+
+    Two formulations, identical math (parity-tested):
+    - gather: jax.image.resize — the DEFAULT.  Measured 117.6 p/s on the
+      fused OTF+GAN bench vs 106-107 for the shifts+interleave form: the
+      concat/stack/reshape chain breaks XLA's conv fusions around it and
+      costs more than the gather it saves (BENCH_NOTES round 3).
+    - elementwise (NEOSR_D_RESIZE=elementwise): out[2i] = .25 x[i-1] +
+      .75 x[i], out[2i+1] = .75 x[i] + .25 x[i+1] via shifts+interleave;
+      kept as an A/B lever for other topologies/generations.
+    """
+    import os
+    if os.environ.get("NEOSR_D_RESIZE", "gather") != "elementwise":
+        return jax.image.resize(
+            x, (x.shape[0], x.shape[1] * 2, x.shape[2] * 2, x.shape[3]),
+            method="bilinear")
+
     def up_axis(v: jnp.ndarray, axis: int) -> jnp.ndarray:
         first = jax.lax.slice_in_dim(v, 0, 1, axis=axis)
         last = jax.lax.slice_in_dim(v, v.shape[axis] - 1, v.shape[axis], axis=axis)

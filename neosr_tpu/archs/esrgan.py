@@ -190,6 +190,7 @@ class ResidualDenseBlock(nn.Module):
 
     num_feat: int = 64
     num_grow_ch: int = 32
+    use_custom_vjp: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -202,7 +203,7 @@ class ResidualDenseBlock(nn.Module):
             _Conv2dParams(outs[k], ins[k], init, name=f"Conv2d_{k}")()
             for k in range(5)
         ), strict=True)
-        if _USE_CUSTOM_VJP:
+        if _USE_CUSTOM_VJP and self.use_custom_vjp:
             x5 = _dense_block(tuple(weights), tuple(biases), x, c, g, self.dtype)
         else:
             x5 = _dense_pieces_fwd(tuple(weights), tuple(biases), x, c, g,
@@ -213,13 +214,17 @@ class ResidualDenseBlock(nn.Module):
 class RRDB(nn.Module):
     num_feat: int
     num_grow_ch: int = 32
+    use_custom_vjp: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch, self.dtype)(x)
-        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch, self.dtype)(out)
-        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch, self.dtype)(out)
+        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch,
+                                 self.use_custom_vjp, self.dtype)(x)
+        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch,
+                                 self.use_custom_vjp, self.dtype)(out)
+        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch,
+                                 self.use_custom_vjp, self.dtype)(out)
         return out * 0.2 + x
 
 
@@ -232,6 +237,11 @@ class esrgan(nn.Module):
     num_block: int = 23
     num_grow_ch: int = 32
     use_checkpoint: bool = False
+    # hand-written dense-block VJP (wide-lane bwd): big win on the
+    # standalone train step (143 -> 209 p/s); measured NEGATIVE inside the
+    # fused OTF+GAN graph (scheduling/memory interaction) — configurable
+    # per recipe
+    use_custom_vjp: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -251,7 +261,8 @@ class esrgan(nn.Module):
         # The lift is applied to the *call* so param names don't change and
         # checkpoints stay interchangeable with use_checkpoint=false.
         for _ in range(self.num_block):
-            blk = RRDB(self.num_feat, self.num_grow_ch, self.dtype)
+            blk = RRDB(self.num_feat, self.num_grow_ch,
+                       self.use_custom_vjp, self.dtype)
             if self.use_checkpoint:
                 body = nn.remat(RRDB.__call__)(blk, body)
             else:

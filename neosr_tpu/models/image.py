@@ -437,10 +437,13 @@ class image(base):
 
         wavelet = self.wavelet_guided
         wavelet_init = self.wavelet_init
-        # ea2fpn normalizes with per-call batch statistics, so real/fake
-        # must stay separate forwards to match the reference's two torch
-        # calls; the SN discriminators have no cross-batch ops
-        batch_d = self.opt.get("network_d", {}).get("type") != "ea2fpn"
+        # Batching real+fake into ONE D apply measured SLOWER on the fused
+        # OTF graph (116.9 -> 103.7 p/s on v5e: the concat materializes a
+        # 2x-batch activation set and defeats XLA's CSE of the g-step's
+        # fake forward), so separate applies are the default.  ea2fpn
+        # additionally REQUIRES separate forwards (per-call batch stats).
+        batch_d = bool(self.opt.get("train", {}).get("batch_d_apply", False))
+        batch_d = batch_d and self.opt.get("network_d", {}).get("type") != "ea2fpn"
 
         def d_loss_fn(params_d, out, gt, step, bstats_d):
             out = jax.lax.stop_gradient(out)
