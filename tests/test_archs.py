@@ -105,3 +105,35 @@ def test_esrgan_dense_block_custom_vjp_grads():
     for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gn), strict=True):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=1e-4)
+
+
+def test_window_attention_experiment_levers(monkeypatch):
+    """The NEOSR_ATTN_LOGITS=bf16 and NEOSR_QKV_PREPARTITION=1 levers
+    (BENCH_NOTES round 3) must stay numerically close to the default path:
+    bf16 logits within bf16 tolerance, prepartition exact-graph-equivalent
+    module apply that runs and differentiates."""
+    import os
+
+    from neosr_tpu.archs.swin_util import SwinBlock, window_attention
+
+    rng = np.random.default_rng(7)
+    b_, h, n, d = 4, 6, 64, 24
+    q = jnp.asarray(rng.normal(size=(b_, h, n, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b_, h, n, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b_, h, n, d)).astype(np.float32))
+    base = np.asarray(window_attention(q, k, v))
+    monkeypatch.setenv("NEOSR_ATTN_LOGITS", "bf16")
+    alt = np.asarray(window_attention(q, k, v))
+    monkeypatch.delenv("NEOSR_ATTN_LOGITS")
+    assert np.max(np.abs(alt - base)) < 0.05, np.max(np.abs(alt - base))
+
+    blk = SwinBlock(dim=24, num_heads=6, window_size=8, shift_size=0)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 24)).astype(np.float32))
+    monkeypatch.setenv("NEOSR_QKV_PREPARTITION", "1")
+    params = blk.init(jax.random.key(0), x)
+    y, grads = jax.value_and_grad(
+        lambda p: (blk.apply(p, x) ** 2).sum())(params)
+    monkeypatch.delenv("NEOSR_QKV_PREPARTITION")
+    assert np.isfinite(float(y))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))
