@@ -484,7 +484,10 @@ if __name__ == "__main__":
     elif which == "esrgan":
         print(json.dumps(bench_esrgan_otf_train()))
     elif which == "esrgan_otf_full":
-        print(json.dumps(bench_esrgan_otf_full()))
+        kw = {}
+        if len(sys.argv) > 2:  # optional batch override for A/B experiments
+            kw["batch"] = int(sys.argv[2])
+        print(json.dumps(bench_esrgan_otf_full(**kw)))
     elif which == "compact":
         print(json.dumps(bench_compact_train()))
     elif which == "transformer":
