@@ -401,12 +401,18 @@ def bench_esrgan_otf_full(
         for a in t:
             float(jax.device_get(a.reshape(-1)[0].astype(np.float32)))
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        model._pending = staged[i]
-        model.optimize_parameters(warmup + i + 1)
-    _sync(model)
-    dt = time.perf_counter() - t0
+    import contextlib
+
+    trace_dir = os.environ.get("NEOSR_BENCH_TRACE")
+    ctx = (jax.profiler.trace(trace_dir) if trace_dir
+           else contextlib.nullcontext())
+    with ctx:
+        t0 = time.perf_counter()
+        for i in range(iters):
+            model._pending = staged[i]
+            model.optimize_parameters(warmup + i + 1)
+        _sync(model)
+        dt = time.perf_counter() - t0
     return {
         "metric": "esrgan_otf_full_patches_per_sec_per_chip",
         "value": round(batch * iters / dt / n_chips, 2),

