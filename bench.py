@@ -343,7 +343,7 @@ def bench_esrgan_otf_full(
         }},
         "network_g": {"type": "esrgan",
                       "use_custom_vjp": os.environ.get(
-                          "NEOSR_BENCH_VJP", "0") == "1"},
+                          "NEOSR_BENCH_VJP", "1") == "1"},
         "network_d": {"type": "unet"},
         "path": {},
         "train": {
