@@ -281,11 +281,17 @@ def bench_transformer_train(
     for i in range(warmup):
         model.optimize_parameters(i + 1)
     _sync(model)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        model.optimize_parameters(warmup + i + 1)
-    _sync(model)
-    dt = time.perf_counter() - t0
+    import contextlib
+
+    trace_dir = os.environ.get("NEOSR_BENCH_TRACE")
+    ctx = (jax.profiler.trace(trace_dir) if trace_dir
+           else contextlib.nullcontext())
+    with ctx:
+        t0 = time.perf_counter()
+        for i in range(iters):
+            model.optimize_parameters(warmup + i + 1)
+        _sync(model)
+        dt = time.perf_counter() - t0
     # Rough MFU: dense/conv work per LR pixel is ~2*P FLOPs fwd (most params
     # are 1x1/dense applied per token), train step ~3x fwd.  Attention
     # QK/PV adds ~10-20% on top — this UNDERcounts, so MFU here is a floor.
