@@ -140,9 +140,11 @@ def window_attention(
     """
     d = q.shape[-1]
     scale = scale if scale is not None else d**-0.5
-    # experiment lever (BENCH_NOTES round 3): keep QK^T logits in bf16 and
-    # accumulate only the softmax normalizer in fp32, halving the dominant
-    # (B_, heads, N, N) intermediate's traffic.  Default stays fp32 logits.
+    # NEOSR_ATTN_LOGITS=bf16: keep QK^T logits in bf16 and accumulate only
+    # the softmax normalizer in fp32, halving the dominant (B_, heads, N, N)
+    # intermediate's traffic.  Measured +7.9% on swinir_medium training
+    # (46.4 -> 50.0 p/s, BENCH_NOTES round 3); output diff vs fp32 logits
+    # ~1e-2 on random init, so the numerically-safe fp32 stays the default.
     bf16_logits = os.environ.get("NEOSR_ATTN_LOGITS", "f32") == "bf16"
 
     def _core(q_, k_, v_, bias_, mask_):
@@ -246,20 +248,12 @@ class SwinBlock(nn.Module):
         else:
             mask = None
 
-        if os.environ.get("NEOSR_QKV_PREPARTITION") == "1":
-            # EXPERIMENT lever (BENCH_NOTES round 3): run the qkv and proj
-            # matmuls on the full (B,H,W,C) map so the window
-            # partition/reverse transposes sit between attention einsums
-            # only.  Param tree differs from WindowAttention — measurement
-            # only, never for checkpoints.
-            x = self._attn_prepartition(x, win, mask, h, w)
-        else:
-            windows = window_partition(x, win)
-            attn = WindowAttention(
-                self.dim, (win, win), self.num_heads, self.qkv_bias,
-                self.qk_scale, dtype=self.dtype,
-            )(windows, mask)
-            x = window_reverse(attn, win, h, w)
+        windows = window_partition(x, win)
+        attn = WindowAttention(
+            self.dim, (win, win), self.num_heads, self.qkv_bias,
+            self.qk_scale, dtype=self.dtype,
+        )(windows, mask)
+        x = window_reverse(attn, win, h, w)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
 
@@ -269,31 +263,3 @@ class SwinBlock(nn.Module):
         y = Mlp(int(self.dim * self.mlp_ratio), self.dim, drop=self.drop,
                 dtype=self.dtype)(y, deterministic=deterministic)
         return x + DropPath(self.drop_path)(y, deterministic=deterministic)
-
-    def _attn_prepartition(self, x, win, mask, h, w):
-        c = self.dim
-        heads = self.num_heads
-        head_dim = c // heads
-        n = win * win
-        bias_table = self.param(
-            "pp_relative_position_bias_table", trunc_normal_init(),
-            ((2 * win - 1) * (2 * win - 1), heads),
-        )
-        idx = relative_position_index(win, win)
-        bias = bias_table[idx.reshape(-1)].reshape(n, n, heads)
-        bias = bias.transpose(2, 0, 1)
-
-        qkv = nn.Dense(c * 3, use_bias=self.qkv_bias, dtype=self.dtype,
-                       param_dtype=jnp.float32,
-                       kernel_init=trunc_normal_init(), name="pp_qkv")(x)
-        wins = window_partition(qkv, win)  # (B_, N, 3C)
-        b_ = wins.shape[0]
-        wins = wins.reshape(b_, n, 3, heads, head_dim)
-        wins = wins.transpose(2, 0, 3, 1, 4)
-        q, k, v = wins[0], wins[1], wins[2]
-        out = window_attention(q, k, v, bias=bias, mask=mask,
-                               scale=self.qk_scale)
-        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
-        out = window_reverse(out, win, h, w)
-        return nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
-                        kernel_init=trunc_normal_init(), name="pp_proj")(out)

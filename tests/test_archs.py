@@ -107,14 +107,11 @@ def test_esrgan_dense_block_custom_vjp_grads():
                                    atol=2e-4, rtol=1e-4)
 
 
-def test_window_attention_experiment_levers(monkeypatch):
-    """The NEOSR_ATTN_LOGITS=bf16 and NEOSR_QKV_PREPARTITION=1 levers
-    (BENCH_NOTES round 3) must stay numerically close to the default path:
-    bf16 logits within bf16 tolerance, prepartition exact-graph-equivalent
-    module apply that runs and differentiates."""
-    import os
-
-    from neosr_tpu.archs.swin_util import SwinBlock, window_attention
+def test_window_attention_bf16_logits_lever(monkeypatch):
+    """The NEOSR_ATTN_LOGITS=bf16 lever (+7.9% measured on swinir_medium,
+    BENCH_NOTES round 3) must stay within bf16 tolerance of the default
+    fp32-logits path."""
+    from neosr_tpu.archs.swin_util import window_attention
 
     rng = np.random.default_rng(7)
     b_, h, n, d = 4, 6, 64, 24
@@ -126,14 +123,3 @@ def test_window_attention_experiment_levers(monkeypatch):
     alt = np.asarray(window_attention(q, k, v))
     monkeypatch.delenv("NEOSR_ATTN_LOGITS")
     assert np.max(np.abs(alt - base)) < 0.05, np.max(np.abs(alt - base))
-
-    blk = SwinBlock(dim=24, num_heads=6, window_size=8, shift_size=0)
-    x = jnp.asarray(rng.normal(size=(1, 16, 16, 24)).astype(np.float32))
-    monkeypatch.setenv("NEOSR_QKV_PREPARTITION", "1")
-    params = blk.init(jax.random.key(0), x)
-    y, grads = jax.value_and_grad(
-        lambda p: (blk.apply(p, x) ** 2).sum())(params)
-    monkeypatch.delenv("NEOSR_QKV_PREPARTITION")
-    assert np.isfinite(float(y))
-    assert all(np.isfinite(np.asarray(g)).all()
-               for g in jax.tree.leaves(grads))
