@@ -16,6 +16,7 @@ TPU-native by design:
 
 from __future__ import annotations
 
+import os
 import argparse
 import logging
 import random
@@ -168,6 +169,15 @@ def opt_from_dict(
     set_random_seed(seed + opt["rank"])
 
     opt["is_train"] = is_train
+
+    # --- perf knobs ---------------------------------------------------------
+    # Global `attn_logits = "bf16"` keeps window-attention QK^T logits in
+    # bf16 (fp32 softmax normalizer): +7.9% measured on swinir_medium
+    # training (BENCH_NOTES round 3).  Default fp32.  Exposed as an env
+    # bridge because the attention helper is shared by every swin-family
+    # arch and is read at trace time.
+    if opt.get("attn_logits") in ("bf16", "f32"):
+        os.environ["NEOSR_ATTN_LOGITS"] = opt["attn_logits"]
 
     if debug and not opt["name"].startswith("debug"):
         opt["name"] = "debug_" + opt["name"]
