@@ -444,38 +444,49 @@ def _run_all() -> None:
     compile+run cost, it is skipped WITH A NOTE instead of dying rc=124
     mid-compile.  Order = cost-ascending after the headline, so cheap
     metrics always land."""
+    import subprocess as _sp
     import sys as _sys
 
-    _enable_compile_cache()
     headline = None
     extras = {}
-    # (fn, worst-case compile+run seconds observed over the tunnel)
+    # (cli name, worst-case compile+run seconds observed over the tunnel).
+    # Each metric runs in its OWN subprocess: the metrics leave params /
+    # optimizer states / pool buffers alive in HBM, and the fused OTF+GAN
+    # graph measured 37% slower when run last in a shared process (79.4 vs
+    # 125.9 p/s standalone — allocator fragmentation).  A fresh process per
+    # metric reproduces the standalone numbers; the persistent compile
+    # cache makes subprocess re-init cheap.
     plan = [
-        (bench_compact_train, 120),
-        (bench_otf_degrade, 120),
-        (bench_transformer_train, 420),
-        (bench_esrgan_otf_train, 420),
-        (bench_esrgan_otf_full, 700),
+        ("compact", 120),
+        ("otf", 120),
+        ("transformer", 420),
+        ("esrgan", 420),
+        ("esrgan_otf_full", 700),
     ]
-    for fn, est in plan:
-        if fn is not bench_compact_train and _remaining() < est:
-            r = {"metric": getattr(fn, "__name__", "?"), "value": None,
+    for name, est in plan:
+        if name != "compact" and _remaining() < est:
+            r = {"metric": name, "value": None,
                  "unit": "skipped", "vs_baseline": None,
                  "detail": {"skipped": f"budget: {_remaining():.0f}s left "
                                        f"< {est}s estimate"}}
             print(json.dumps(r), flush=True)
-            _sys.stderr.write(f"[bench] {r['metric']} SKIPPED (budget)\n")
+            _sys.stderr.write(f"[bench] {name} SKIPPED (budget)\n")
             continue
         try:
-            r = fn()
+            out = _sp.run(
+                [_sys.executable, __file__, name],
+                capture_output=True, text=True,
+                timeout=max(_remaining(), 60),
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
         except Exception as e:  # noqa: BLE001 — a dead sub-bench must not hide the rest
-            r = {"metric": getattr(fn, "__name__", "?"), "value": None,
+            r = {"metric": name, "value": None,
                  "unit": "error", "vs_baseline": None,
                  "detail": {"error": repr(e)[:300]}}
         print(json.dumps(r), flush=True)
         _sys.stderr.write(f"[bench] {r['metric']} done "
                           f"({_remaining():.0f}s budget left)\n")
-        if fn is bench_compact_train:
+        if name == "compact":
             headline = r
         elif r["value"] is not None:
             extras[r["metric"]] = r["value"]
