@@ -3835,6 +3835,392 @@ def _eimn_mirror(opt: dict[str, Any], scale: int):
     return Mirror()
 
 
+def _ditn_mirror(opt: dict[str, Any], scale: int):
+    """Torch mirror of our flax DITN (archs/ditn.py): UFONE blocks of ITL
+    (channel self-attention over patch tokens, tanh-gated) then SAL (dilated
+    depthwise spatial attention), pixel-shuffle-direct head.  The reference
+    refuses ONNX for ditn (/root/reference/convert.py:91); this mirror
+    exports it fine — coverage beyond the reference."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    dim = opt.get("dim", 60)
+    n_itl = opt.get("ITL_blocks", 4)
+    n_sal = opt.get("SAL_blocks", 4)
+    n_ufone = opt.get("UFONE_blocks", 1)
+    exp = opt.get("ffn_expansion_factor", 2.0)
+    bias = opt.get("bias", False)
+    ps = opt.get("patch_size", 8)
+    in_ch = opt.get("inp_channels", 3)
+
+    class FFN(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            hid = int(dim * exp)
+            self.project_in = nn.Conv2d(dim, hid * 2, 1, bias=bias)
+            self.dwconv = nn.Conv2d(hid * 2, hid * 2, 3, padding=1,
+                                    groups=hid * 2, bias=bias)
+            self.project_out = nn.Conv2d(hid, dim, 1, bias=bias)
+
+        def forward(self, x):
+            x = self.dwconv(self.project_in(x))
+            x1, x2 = x.chunk(2, dim=1)
+            return self.project_out(F.gelu(x1) * x2)
+
+    class ISA(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.qkv = nn.Linear(dim, dim * 3, bias=True)
+            self.project_out = nn.Conv2d(dim, dim, 1, bias=bias)
+
+        def forward(self, x):  # NCHW
+            b, c, h, w = x.shape
+            n = h * w
+            tokens = x.permute(0, 2, 3, 1).reshape(b, n, c)
+            q, k, v = self.qkv(tokens).chunk(3, dim=-1)
+            q, k, v = (t.transpose(1, 2) for t in (q, k, v))  # (b, c, n)
+            q = q / (q.norm(dim=-1, keepdim=True) + 1e-12)
+            k = k / (k.norm(dim=-1, keepdim=True) + 1e-12)
+            attn = torch.softmax((q @ k.transpose(-2, -1)) * n**-0.5, dim=-1)
+            out = (attn @ v).transpose(1, 2).reshape(b, h, w, c)
+            return self.project_out(out.permute(0, 3, 1, 2))
+
+    class SDA(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.scale = nn.Parameter(torch.zeros(1, dim, 1, 1))
+            self.proj_first = nn.Sequential(nn.Conv2d(dim, dim * 2, 1))
+            self.DConvs = nn.Sequential(
+                nn.Conv2d(dim, dim, 5, padding=2, groups=dim),
+                nn.Conv2d(dim, dim, 7, padding=9, dilation=3, groups=dim),
+                nn.Conv2d(dim, dim, 1))
+            self.proj_last = nn.Sequential(nn.Conv2d(dim, dim, 1))
+
+        def forward(self, x):
+            x = self.proj_first(x)
+            a, x = x.chunk(2, dim=1)
+            a = self.DConvs(a)
+            return self.proj_last(x * a) * self.scale
+
+    class ITL(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.conv1 = nn.Conv2d(dim, dim, 1)
+            self.attn = ISA()
+            self.conv2 = nn.Conv2d(dim, dim, 1)
+            self.ffn = FFN()
+
+        def forward(self, x):
+            x = x + self.attn(self.conv1(torch.tanh(x)))
+            return x + self.ffn(self.conv2(torch.tanh(x)))
+
+    class SAL(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.conv1 = nn.Conv2d(dim, dim, 1)
+            self.SDA = SDA()
+            self.conv2 = nn.Conv2d(dim, dim, 1)
+            self.ffn = FFN()
+
+        def forward(self, x):
+            x = x + self.SDA(self.conv1(torch.tanh(x)))
+            return x + self.ffn(self.conv2(torch.tanh(x)))
+
+    class DITNMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.sft = nn.Conv2d(in_ch, dim, 3, padding=1)
+            self.UFONE = nn.ModuleList()
+            for _ in range(n_ufone):
+                blk = nn.Module()
+                blk.ITLs = nn.ModuleList(ITL() for _ in range(n_itl))
+                blk.SALs = nn.ModuleList(SAL() for _ in range(n_sal))
+                self.UFONE.append(blk)
+            self.conv_after_body = nn.Conv2d(dim, dim, 3, padding=1)
+            self.upsample = nn.Sequential(
+                nn.Conv2d(dim, 3 * scale**2, 3, padding=1),
+                nn.PixelShuffle(scale))
+
+        def forward(self, x):
+            b, _, H0, W0 = x.shape
+            ph, pw = (-H0) % ps, (-W0) % ps
+            if ph or pw:
+                x = F.pad(x, (0, pw, 0, ph), mode="reflect")
+            h, w = x.shape[2], x.shape[3]
+            sft = self.sft(x)
+            feat = sft
+            for blk in self.UFONE:
+                local = feat.permute(0, 2, 3, 1).reshape(
+                    b, h // ps, ps, w // ps, ps, dim)
+                local = local.permute(0, 1, 3, 2, 4, 5).reshape(
+                    -1, ps, ps, dim).permute(0, 3, 1, 2)
+                for itl in blk.ITLs:
+                    local = itl(local)
+                local = local.permute(0, 2, 3, 1).reshape(
+                    b, h // ps, w // ps, ps, ps, dim)
+                feat = local.permute(0, 1, 3, 2, 4, 5).reshape(
+                    b, h, w, dim).permute(0, 3, 1, 2)
+                for sal in blk.SALs:
+                    feat = sal(feat)
+            feat = self.conv_after_body(feat)
+            out = self.upsample(feat + sft)
+            return out[:, :, : H0 * scale, : W0 * scale]
+
+    return DITNMirror()
+
+
+def _craft_mirror(opt: dict[str, Any], scale: int):
+    """Torch mirror of our flax CRAFT (archs/craft.py): CRFB groups of SRWAB
+    rect-window attention (dual branches, DynamicPosBias, LePE, unmasked
+    shifts) + HFERB conv/max-pool + HFB channel cross-attention fusion.  The
+    reference refuses ONNX for craft (/root/reference/convert.py:91); this
+    mirror exports it — coverage beyond the reference."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    from neosr_tpu.archs.dat import rect_rel_coords
+
+    dim = opt.get("embed_dim", 48)
+    depths = list(opt.get("depths", (2, 2, 2, 2)))
+    heads = list(opt.get("num_heads", (6, 6, 6, 6)))
+    s0 = opt.get("split_size_0", 4)
+    s1 = opt.get("split_size_1", 16)
+    ws = opt.get("window_size", 16)
+    mlp_ratio = opt.get("mlp_ratio", 2.0)
+    img_range = opt.get("img_range", 1.0)
+    in_chans = opt.get("in_chans", 3)
+    resi = opt.get("resi_connection", "1conv")
+    if resi != "1conv":
+        msg = f"craft ONNX mirror supports resi_connection='1conv', got {resi}"
+        raise ValueError(msg)
+
+    class DPB(nn.Module):
+        def __init__(self, branch_dim: int, n_heads: int) -> None:
+            super().__init__()
+            pd = max(branch_dim // 16, 1)
+            self.pos_proj = nn.Linear(2, pd)
+            self.pos1 = nn.Sequential(nn.LayerNorm(pd), nn.Identity(),
+                                      nn.Linear(pd, pd))
+            self.pos2 = nn.Sequential(nn.LayerNorm(pd), nn.Identity(),
+                                      nn.Linear(pd, pd))
+            self.pos3 = nn.Sequential(nn.LayerNorm(pd), nn.Identity(),
+                                      nn.Linear(pd, n_heads))
+
+        def forward(self, b):
+            h = self.pos_proj(b)
+            for seq in (self.pos1, self.pos2, self.pos3):
+                h = seq[2](F.relu(seq[0](h)))
+            return h
+
+    class Branch(nn.Module):  # SpatialAttentionBranch (unmasked)
+        def __init__(self, bdim: int, hs: int, wss: int, n_heads: int) -> None:
+            super().__init__()
+            self.bdim, self.hs, self.ws, self.n_heads = bdim, hs, wss, n_heads
+            self.pos = DPB(bdim, n_heads)
+            biases, idx = rect_rel_coords(hs, wss)
+            self.register_buffer("biases", torch.from_numpy(biases.copy()),
+                                 persistent=False)
+            self.register_buffer("rpi", torch.from_numpy(idx.copy()).long(),
+                                 persistent=False)
+
+        def forward(self, qkv_sp):
+            b, h, w, _ = qkv_sp.shape
+            hs, wss, nh = self.hs, self.ws, self.n_heads
+            d = self.bdim // nh
+            win = qkv_sp.view(b, h // hs, hs, w // wss, wss, 3 * self.bdim)
+            win = win.permute(0, 1, 3, 2, 4, 5).reshape(
+                -1, hs * wss, 3 * self.bdim)
+            b_, n, _ = win.shape
+            qkv = win.view(b_, n, 3, nh, d).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            pos = self.pos(self.biases)
+            bias = pos[self.rpi.view(-1)].view(n, n, nh).permute(2, 0, 1)
+            attn = (q * d**-0.5) @ k.transpose(-2, -1) + bias[None]
+            attn = torch.softmax(attn, dim=-1)
+            out = (attn @ v).transpose(1, 2).reshape(b_, n, self.bdim)
+            out = out.view(b, h // hs, w // wss, hs, wss, self.bdim)
+            return out.permute(0, 1, 3, 2, 4, 5).reshape(b, h, w, self.bdim)
+
+    class SRWAB(nn.Module):
+        def __init__(self, n_heads: int, shift: bool) -> None:
+            super().__init__()
+            self.shift = shift
+            self.norm1 = nn.LayerNorm(dim, eps=1e-5)
+            self.norm2 = nn.LayerNorm(dim, eps=1e-5)
+            self.qkv = nn.Linear(dim, dim * 3, bias=True)
+            self.attns = nn.ModuleList([
+                Branch(dim // 2, s0, s1, n_heads // 2),
+                Branch(dim // 2, s1, s0, n_heads // 2)])
+            self.get_v = nn.Conv2d(dim, dim, 3, padding=1, groups=dim)
+            self.proj = nn.Linear(dim, dim)
+            hidden = int(dim * mlp_ratio)
+            self.mlp = nn.ModuleDict({})
+            self.mlp.fc1 = nn.Linear(dim, hidden)
+            self.mlp.fc2 = nn.Linear(hidden, dim)
+
+        def attn_forward(self, x):  # BHWC; flax L_SA with use_mask=False
+            b, h, w, c = x.shape
+            sh, sw = s0 // 2, s1 // 2
+            qkv = self.qkv(x)
+            v_img = qkv[..., 2 * c:]
+            ms = max(s0, s1)
+            pad_b, pad_r = (-h) % ms, (-w) % ms
+            qkv_p = F.pad(qkv.permute(0, 3, 1, 2), (0, pad_r, 0, pad_b))
+            qkv_p = qkv_p.permute(0, 2, 3, 1)
+            hp, wp = h + pad_b, w + pad_r
+            half = c // 2
+
+            def split_qkv(t, lo, hi):
+                return torch.cat([t[..., lo:hi], t[..., c + lo: c + hi],
+                                  t[..., 2 * c + lo: 2 * c + hi]], dim=-1)
+
+            qkv0 = split_qkv(qkv_p, 0, half)
+            qkv1 = split_qkv(qkv_p, half, c)
+            if self.shift and min(hp, wp) > ms:
+                qkv0 = torch.roll(qkv0, (-sh, -sw), dims=(1, 2))
+                qkv1 = torch.roll(qkv1, (-sw, -sh), dims=(1, 2))
+                x0 = torch.roll(self.attns[0](qkv0), (sh, sw), dims=(1, 2))
+                x1 = torch.roll(self.attns[1](qkv1), (sw, sh), dims=(1, 2))
+            else:
+                x0 = self.attns[0](qkv0)
+                x1 = self.attns[1](qkv1)
+            att = torch.cat([x0, x1], dim=-1)[:, :h, :w, :]
+            lcm = self.get_v(v_img.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            return self.proj(att + lcm)
+
+        def forward(self, x):  # BHWC
+            x = x + self.attn_forward(self.norm1(x))
+            return x + self.mlp.fc2(F.gelu(self.mlp.fc1(self.norm2(x))))
+
+    class HFERB(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            mid = dim // 2
+            self.conv = nn.Conv2d(mid, mid, 3, padding=1)
+            self.fc = nn.Conv2d(mid, mid, 1)
+            self.last_fc = nn.Conv2d(dim, dim, 1)
+
+        def forward(self, x):  # NCHW
+            mid = dim // 2
+            lfe = F.gelu(self.conv(x[:, :mid]))
+            hfe = F.gelu(self.fc(F.max_pool2d(x[:, mid:], 3, 1, 1)))
+            return x + self.last_fc(torch.cat([lfe, hfe], dim=1))
+
+    class HFBAttn(nn.Module):
+        def __init__(self, n_heads: int) -> None:
+            super().__init__()
+            self.temperature = nn.Parameter(torch.ones(n_heads, 1, 1))
+            self.q = nn.Conv2d(dim, dim, 1, bias=False)
+            self.q_dwconv = nn.Conv2d(dim, dim, 3, padding=1, groups=dim,
+                                      bias=False)
+            self.kv = nn.Conv2d(dim, dim * 2, 1, bias=False)
+            self.kv_dwconv = nn.Conv2d(dim * 2, dim * 2, 3, padding=1,
+                                       groups=dim * 2, bias=False)
+            self.project_out = nn.Conv2d(dim, dim, 1, bias=False)
+
+    class HFB(nn.Module):
+        def __init__(self, n_heads: int) -> None:
+            super().__init__()
+            self.n_heads = n_heads
+            self.norm1 = nn.Module()
+            self.norm1.body = nn.LayerNorm(dim, eps=1e-5)
+            self.norm2 = nn.Module()
+            self.norm2.body = nn.LayerNorm(dim, eps=1e-5)
+            self.attn = HFBAttn(n_heads)
+            hid = int(dim * 2.66)
+            self.ffn = nn.ModuleDict({})
+            self.ffn.project_in = nn.Conv2d(dim, hid * 2, 1, bias=False)
+            self.ffn.dwconv = nn.Conv2d(hid * 2, hid * 2, 3, padding=1,
+                                        groups=hid * 2, bias=False)
+            self.ffn.project_out = nn.Conv2d(hid, dim, 1, bias=False)
+
+        def forward(self, low, high):  # BHWC
+            b, h, w, c = low.shape
+            nh = self.n_heads
+            d = c // nh
+            n = h * w
+            ln = self.norm1.body(low)
+            q = self.attn.q_dwconv(self.attn.q(high.permute(0, 3, 1, 2)))
+            kv = self.attn.kv_dwconv(self.attn.kv(ln.permute(0, 3, 1, 2)))
+            k, v = kv[:, :c], kv[:, c:]
+
+            def chan(t):  # NCHW -> (b, heads, d, n)
+                return t.permute(0, 2, 3, 1).reshape(b, n, nh, d).permute(
+                    0, 2, 3, 1)
+
+            qh, kh, vh = chan(q), chan(k), chan(v)
+            qh = qh / (qh.norm(dim=-1, keepdim=True) + 1e-12)
+            kh = kh / (kh.norm(dim=-1, keepdim=True) + 1e-12)
+            attn = torch.softmax(
+                torch.einsum("bhdn,bhen->bhde", qh, kh)
+                * self.attn.temperature, dim=-1)
+            out = torch.einsum("bhde,bhen->bhdn", attn, vh)
+            out = out.permute(0, 3, 1, 2).reshape(b, h, w, c)
+            out = self.attn.project_out(
+                out.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+            x = low + out
+            y = self.norm2.body(x).permute(0, 3, 1, 2)
+            y = self.ffn.dwconv(self.ffn.project_in(y))
+            y1, y2 = y.chunk(2, dim=1)
+            y = self.ffn.project_out(F.gelu(y1) * y2).permute(0, 2, 3, 1)
+            return x + y
+
+    class CraftMirror(nn.Module):
+        def __init__(self) -> None:
+            super().__init__()
+            self.conv_first = nn.Conv2d(in_chans, dim, 3, padding=1)
+            self.layers = nn.ModuleList()
+            for gi, depth in enumerate(depths):
+                layer = nn.Module()
+                rg = nn.Module()
+                rg.srwa_blocks = nn.ModuleList(
+                    SRWAB(heads[gi], j % 2 == 1) for j in range(2 * depth))
+                rg.hfer_blocks = nn.ModuleList(HFERB() for _ in range(depth))
+                rg.hf_blocks = nn.ModuleList(
+                    HFB(heads[gi]) for _ in range(depth))
+                layer.residual_group = rg
+                layer.conv = nn.Conv2d(dim, dim, 3, padding=1)
+                self.layers.append(layer)
+            self.norm = nn.Module()
+            self.norm.body = nn.LayerNorm(dim, eps=1e-5)
+            self.conv_after_body = nn.Conv2d(dim, dim, 3, padding=1)
+            self.upsample = nn.Sequential(
+                nn.Conv2d(dim, in_chans * scale**2, 3, padding=1),
+                nn.PixelShuffle(scale))
+
+        def forward(self, x):
+            mean = 0.5 if in_chans == 3 else 0.0
+            _, _, H0, W0 = x.shape
+            # always a full extra window, symmetric (edge-inclusive) pad
+            ph = (H0 // ws + 1) * ws - H0
+            pw = (W0 // ws + 1) * ws - W0
+            x = torch.cat([x, x.flip(2)[:, :, :ph]], dim=2)
+            x = torch.cat([x, x.flip(3)[:, :, :, :pw]], dim=3)
+            x = (x - mean) * img_range
+            feat = self.conv_first(x).permute(0, 2, 3, 1)
+            h = feat
+            for layer in self.layers:
+                res = h
+                rg = layer.residual_group
+                for i in range(len(rg.hf_blocks)):
+                    low = rg.srwa_blocks[2 * i](h)
+                    low = rg.srwa_blocks[2 * i + 1](low)
+                    high = rg.hfer_blocks[i](
+                        h.permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+                    h = rg.hf_blocks[i](low, high)
+                h = layer.conv(h.permute(0, 3, 1, 2)).permute(0, 2, 3, 1) + res
+            h = self.norm.body(h)
+            h = self.conv_after_body(
+                h.permute(0, 3, 1, 2)).permute(0, 2, 3, 1) + feat
+            out = self.upsample(h.permute(0, 3, 1, 2))
+            out = out / img_range + mean
+            return out[:, :, : H0 * scale, : W0 * scale]
+
+    return CraftMirror()
+
+
 _MIRRORS = {
     "compact": _compact_mirror,
     "span": _span_mirror,
@@ -3861,6 +4247,8 @@ _MIRRORS = {
     "dctlsa": _dctlsa_mirror,
     "dat": _dat_mirror,
     "hma": _hma_mirror,
+    "ditn": _ditn_mirror,
+    "craft": _craft_mirror,
 }
 
 

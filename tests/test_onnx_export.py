@@ -73,6 +73,13 @@ CASES = [
     ("hma", {"embed_dim": 32, "depths": [2, 2], "num_heads": [2, 2],
              "window_size": 8, "interval_size": 4, "mlp_ratio": 1.0,
              "drop_path_rate": 0.0}, 4),
+    # craft/ditn: the reference refuses ONNX for both
+    # (/root/reference/convert.py:91); we export them anyway
+    ("ditn", {"dim": 16, "ITL_blocks": 2, "SAL_blocks": 2,
+              "ffn_expansion_factor": 1.0, "patch_size": 8}, 4),
+    ("craft", {"embed_dim": 16, "depths": [2], "num_heads": [2],
+               "split_size_0": 4, "split_size_1": 8, "window_size": 8,
+               "mlp_ratio": 1.0}, 4),
 ]
 
 
@@ -128,4 +135,4 @@ def test_mirror_unknown_arch_raises():
     from neosr_tpu.utils.torch_mirror import build_torch_mirror
 
     with _pytest.raises(ValueError, match="no ONNX torch mirror"):
-        build_torch_mirror("craft", {}, 4, {})
+        build_torch_mirror("unet", {}, 4, {})
