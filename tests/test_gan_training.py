@@ -117,3 +117,37 @@ def test_unknown_loss_opt_errors(tiny_paired_dataset, tmp_path):
     )
     with pytest.raises(KeyError, match="NoSuchLoss"):
         build_model(opt)
+
+
+def test_symlet_filter_bank():
+    """The in-repo least-asymmetric factorization (used for wavelet_guided
+    when pywt is absent) must reproduce the published symN family: sym4
+    equals pywt's coefficient table, and sym19 is orthonormal with
+    near-linear phase (far below the extremal-phase db19 deviation)."""
+    import numpy as np
+
+    from neosr_tpu.losses.wavelet_guided import (
+        _phase_nonlinearity,
+        daubechies_filters,
+        symlet_filters,
+    )
+
+    # pywt.Wavelet("sym4").dec_lo — public reference table
+    sym4_dec_lo = [
+        -0.07576571478927333, -0.02963552764599851, 0.49761866763201545,
+        0.8037387518059161, 0.29785779560527736, -0.09921954357684722,
+        -0.012603967262037833, 0.0322231006040427,
+    ]
+    lo4, _ = symlet_filters(4)
+    np.testing.assert_allclose(lo4, sym4_dec_lo, atol=1e-10)
+
+    lo, hi = symlet_filters(19)
+    assert len(lo) == 38
+    np.testing.assert_allclose(lo.sum(), np.sqrt(2.0), atol=1e-9)
+    np.testing.assert_allclose(np.dot(lo, lo), 1.0, atol=1e-9)
+    for m in (1, 2, 3):
+        assert abs(np.dot(lo[: len(lo) - 2 * m], lo[2 * m:])) < 1e-9
+    for p in (0, 1, 2):
+        assert abs(np.dot(np.arange(len(hi), dtype=np.float64) ** p, hi)) < 1e-9
+    db_lo, _ = daubechies_filters(19)
+    assert _phase_nonlinearity(lo[::-1]) < _phase_nonlinearity(db_lo[::-1]) / 10
