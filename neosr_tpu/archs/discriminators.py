@@ -1,10 +1,15 @@
 """Discriminators: Real-ESRGAN U-Net and pix2pixHD PatchGAN (spectral norm).
 
 Capability parity with /root/reference/neosr/archs/unet_arch.py:9-67 and
-patchgan_arch.py:34-146.  Spectral normalization is stateless here: a few
-power iterations on the reshaped kernel each forward (deterministic start
-vector), which keeps the train step a pure function — no persistent `u`
-buffer to shuttle through the state like torch's hook-based SN.
+patchgan_arch.py:34-146.  Spectral normalization matches torch's hook
+implementation: persistent power-iteration vectors u/v live in the
+"batch_stats" collection (the same mutable-collection threading BN running
+stats already use through the train step / checkpoints / .pth interop).
+A mutable apply runs ONE power iteration and stores the update; a
+read-only apply normalizes by the stored estimate — exactly torch
+`.eval()`, so imported reference net_d checkpoints reproduce.  A stateless
+mode (cold-start power iteration each forward, no persistent state) is
+kept for pure-function uses.
 """
 
 from __future__ import annotations
@@ -39,7 +44,14 @@ def spectral_normalize(kernel: jnp.ndarray, n_iter: int = 3, eps: float = 1e-12)
 
 
 class SNConv(nn.Module):
-    """Conv2d with stateless spectral normalization."""
+    """Conv2d with spectral normalization.
+
+    stateful (default): torch-parity persistent u/v (see module docstring).
+    The kernel is stored HWIO; torch's weight_mat is the OIHW reshape
+    (cout, cin*kh*kw), so our (kh*kw*cin, cout) reshape is its transpose
+    up to a row permutation — u maps 1:1, v needs the (cin,kh,kw) ->
+    (kh,kw,cin) reorder handled by the .pth converters.
+    """
 
     features: int
     kernel_size: int = 3
@@ -47,6 +59,8 @@ class SNConv(nn.Module):
     padding: int = 1
     use_bias: bool = True
     dtype: Any = jnp.float32
+    stateful: bool = True
+    n_iter: int = 3  # stateless mode only
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -56,7 +70,38 @@ class SNConv(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (*ks, cin, self.features),
             jnp.float32,
         )
-        kernel = spectral_normalize(kernel)
+        if self.stateful:
+            eps = 1e-12
+            m = kernel.reshape(-1, self.features).astype(jnp.float32)
+
+            def _init_uv():
+                # one deterministic iteration from a fixed start (torch
+                # draws u,v ~ N(0,1) then iterates on first forward)
+                u0 = jnp.ones((self.features,), jnp.float32) / jnp.sqrt(self.features)
+                v0 = m @ u0
+                v0 = v0 / (jnp.linalg.norm(v0) + eps)
+                u1 = m.T @ v0
+                return u1 / (jnp.linalg.norm(u1) + eps), v0
+
+            u_var = self.variable("batch_stats", "u", lambda: _init_uv()[0])
+            v_var = self.variable("batch_stats", "v", lambda: _init_uv()[1])
+            updating = (not self.is_initializing()
+                        and self.is_mutable_collection("batch_stats"))
+            if updating:
+                # torch SpectralNorm.compute_weight: iterate under no_grad
+                # (v from current u, then u), store, THEN sigma w/ graph
+                v_new = jax.lax.stop_gradient(m) @ u_var.value
+                v_new = v_new / (jnp.linalg.norm(v_new) + eps)
+                u_new = jax.lax.stop_gradient(m).T @ v_new
+                u_new = u_new / (jnp.linalg.norm(u_new) + eps)
+                u_var.value, v_var.value = u_new, v_new
+                u, v = u_new, v_new
+            else:
+                u, v = u_var.value, v_var.value
+            sigma = (m @ u) @ v
+            kernel = (kernel / jnp.maximum(sigma, eps)).astype(kernel.dtype)
+        else:
+            kernel = spectral_normalize(kernel, self.n_iter)
         out = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
             to_2tuple(self.strides),

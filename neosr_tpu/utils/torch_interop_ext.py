@@ -2107,3 +2107,160 @@ def export_dctlsa(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
 
 
 EXT_EXPORTERS["dctlsa"] = export_dctlsa
+
+
+# ---------------------------------------------------------------- discriminators
+# net_d checkpoints (reference save format base.py:281-354): Real-ESRGAN
+# U-Net (unet_arch.py:9-67) and pix2pixHD PatchGAN (patchgan_arch.py:34-146),
+# so a GAN run warm-starts from reference-trained discriminators (and our
+# discriminators export back into the torch ecosystem).  torch's hook-based
+# spectral norm stores `weight_orig` plus persistent power-iteration buffers
+# (`weight_u`/`weight_v`); our SNConv keeps the same persistent state in the
+# "batch_stats" collection (discriminators.py), so u/v transfer both ways via
+# the batch_stats:: side-channel and eval outputs reproduce exactly.  torch
+# flattens the weight matrix OIHW -> (cout, cin*kh*kw) while our HWIO kernel
+# reshapes to (kh*kw*cin, cout): u maps 1:1, v needs the (cin,kh,kw) ->
+# (kh,kw,cin) reorder below.
+
+
+def _v_to_ours(v: np.ndarray, w_oihw_shape: tuple) -> np.ndarray:
+    _, cin, kh, kw = w_oihw_shape
+    return np.ascontiguousarray(
+        v.reshape(cin, kh, kw).transpose(1, 2, 0).reshape(-1))
+
+
+def _v_to_torch(v: np.ndarray, w_hwio_shape: tuple) -> np.ndarray:
+    kh, kw, cin, _ = w_hwio_shape
+    return np.ascontiguousarray(
+        v.reshape(kh, kw, cin).transpose(2, 0, 1).reshape(-1))
+
+
+def _put_sn(out: dict, scope: str, sd: dict, tp: str) -> None:
+    """One spectral-norm conv: weight_orig -> kernel, u/v -> batch_stats."""
+    w = sd[f"{tp}.weight_orig"]
+    out[f"{scope}.kernel"] = _k(w)
+    if f"{tp}.weight_u" in sd:
+        out[f"batch_stats::{scope}.u"] = np.asarray(sd[f"{tp}.weight_u"])
+        out[f"batch_stats::{scope}.v"] = _v_to_ours(
+            np.asarray(sd[f"{tp}.weight_v"]), w.shape)
+    if f"{tp}.bias" in sd:
+        out[f"{scope}.bias"] = sd[f"{tp}.bias"]
+
+
+def convert_unet(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Reference Real-ESRGAN U-Net discriminator -> our flax `unet`."""
+    out: dict[str, np.ndarray] = {}
+    out["Conv_0.kernel"] = _k(sd["conv0.weight"])
+    out["Conv_0.bias"] = sd["conv0.bias"]
+    for i in range(8):
+        tp = f"conv{i + 1}"
+        if f"{tp}.weight_orig" in sd:
+            _put_sn(out, f"SNConv_{i}", sd, tp)
+        else:  # checkpoint saved without SN hooks
+            out[f"SNConv_{i}.kernel"] = _k(sd[f"{tp}.weight"])
+    out["Conv_1.kernel"] = _k(sd["conv9.weight"])
+    out["Conv_1.bias"] = sd["conv9.bias"]
+    return out
+
+
+def _patchgan_torch_indices(num_layers: int) -> list[int]:
+    """nn.Sequential indices of the conv layers (patchgan_arch.py:69-125):
+    [first, strided x (num_layers-1), stride-1, final 1-ch]."""
+    return ([0] + [3 * n - 1 for n in range(1, num_layers)]
+            + [3 * num_layers - 1, 3 * num_layers + 2])
+
+
+def convert_patchgan(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Reference pix2pixHD PatchGAN -> our flax `patchgan` (norm 'none')."""
+    if any(k.endswith(".running_mean") for k in sd):
+        msg = ("patchgan checkpoints with batch/instance norm layers are not "
+               "supported (our patchgan implements the reference default "
+               "norm_type='none', patchgan_arch.py:52)")
+        raise ValueError(msg)
+    conv_idx = sorted({
+        int(m.group(1)) for k in sd if (m := re.match(r"model\.(\d+)\.weight", k))
+    })
+    out: dict[str, np.ndarray] = {}
+    for j, i in enumerate(conv_idx):
+        if f"model.{i}.weight_orig" in sd:
+            _put_sn(out, f"SNConv_{j}", sd, f"model.{i}")
+        else:
+            out[f"Conv_{j}.kernel"] = _k(sd[f"model.{i}.weight"])
+            if f"model.{i}.bias" in sd:
+                out[f"Conv_{j}.bias"] = sd[f"model.{i}.bias"]
+    return out
+
+
+def _sn_uv(w_oihw: np.ndarray, iters: int = 100) -> tuple[np.ndarray, np.ndarray]:
+    """Converged left/right singular vectors of the (O, I*H*W) weight matrix
+    in torch's spectral-norm convention, for the exported u/v buffers."""
+    m = w_oihw.reshape(w_oihw.shape[0], -1).astype(np.float64)
+    u = np.ones(m.shape[0]) / np.sqrt(m.shape[0])
+    for _ in range(iters):
+        v = m.T @ u
+        v /= np.linalg.norm(v) + 1e-12
+        u = m @ v
+        u /= np.linalg.norm(u) + 1e-12
+    return u.astype(np.float32), v.astype(np.float32)
+
+
+def _get_sn(flat: dict, scope: str, out: dict, tp: str) -> None:
+    """Inverse of _put_sn: stored u/v ride out of the batch_stats::
+    side-channel; when absent (plain params tree) converged vectors are
+    synthesized so torch-side eval sees the true spectral estimate."""
+    from neosr_tpu.utils.torch_interop import _ik
+
+    w_hwio = flat[f"{scope}.kernel"]
+    w = _ik(w_hwio)
+    out[f"{tp}.weight_orig"] = w
+    if f"batch_stats::{scope}.u" in flat:
+        out[f"{tp}.weight_u"] = flat[f"batch_stats::{scope}.u"]
+        out[f"{tp}.weight_v"] = _v_to_torch(
+            flat[f"batch_stats::{scope}.v"], w_hwio.shape)
+    else:
+        out[f"{tp}.weight_u"], out[f"{tp}.weight_v"] = _sn_uv(w)
+    if f"{scope}.bias" in flat:
+        out[f"{tp}.bias"] = flat[f"{scope}.bias"]
+
+
+def export_unet(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_unet (loads strict into the reference torch unet)."""
+    from neosr_tpu.utils.torch_interop import _ik
+
+    out: dict[str, np.ndarray] = {}
+    out["conv0.weight"] = _ik(flat["Conv_0.kernel"])
+    out["conv0.bias"] = flat["Conv_0.bias"]
+    for i in range(8):
+        _get_sn(flat, f"SNConv_{i}", out, f"conv{i + 1}")
+    out["conv9.weight"] = _ik(flat["Conv_1.kernel"])
+    out["conv9.bias"] = flat["Conv_1.bias"]
+    return out
+
+
+def export_patchgan(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_patchgan."""
+    from neosr_tpu.utils.torch_interop import _ik
+
+    sn = any(k.startswith("SNConv_") for k in flat)
+    pref = "SNConv_" if sn else "Conv_"
+    n_convs = len({k.split(".")[0] for k in flat if k.startswith(pref)})
+    num_layers = n_convs - 2
+    out: dict[str, np.ndarray] = {}
+    for j, i in enumerate(_patchgan_torch_indices(num_layers)):
+        if sn:
+            _get_sn(flat, f"SNConv_{j}", out, f"model.{i}")
+        else:
+            out[f"model.{i}.weight"] = _ik(flat[f"Conv_{j}.kernel"])
+            if f"Conv_{j}.bias" in flat:
+                out[f"model.{i}.bias"] = flat[f"Conv_{j}.bias"]
+    return out
+
+
+EXT_CONVERTERS.update({
+    "unet": convert_unet,
+    "patchgan": convert_patchgan,
+})
+EXT_EXPORTERS.update({
+    "unet": export_unet,
+    "patchgan": export_patchgan,
+})
