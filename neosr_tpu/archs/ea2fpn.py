@@ -7,9 +7,9 @@ aggregation, spectral-normalized convs, Dropout2d, final DySample to a
 3-channel map.
 
 Deviations (documented): the reference loads ImageNet ResNet18 weights
-(unavailable here — gated via weights_path like the VGG losses); BatchNorm
-runs in batch-statistics mode without running averages so the train step
-stays a pure function (the discriminator is never used at inference).
+(unavailable here — gated via trunk_weights_path like the VGG losses).
+BatchNorm and spectral norm carry torch-matching persistent state in the
+"batch_stats" collection (running statistics / power-iteration u,v).
 """
 
 from __future__ import annotations
@@ -164,7 +164,8 @@ class Conv3x3GNMish(nn.Module):
     @nn.compact
     def __call__(self, x):
         h = SNConv(self.out_channels, 3, 1, 1, use_bias=False, dtype=self.dtype)(x)
-        h = nn.GroupNorm(num_groups=32, dtype=self.dtype)(h)
+        # epsilon: torch nn.GroupNorm default (ea2fpn_arch.py:169)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype)(h)
         h = _mish(h)
         if self.upsample:
             h = DySample(64, 64, 2, groups=4, end_convolution=True,

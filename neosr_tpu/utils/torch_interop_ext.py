@@ -21,6 +21,8 @@ from typing import Callable
 import numpy as np
 
 from neosr_tpu.utils.torch_interop import (
+    _dysample,
+    _get_dysample,
     _k,
     _put_conv,
     _put_dense,
@@ -2264,3 +2266,169 @@ EXT_EXPORTERS.update({
     "unet": export_unet,
     "patchgan": export_patchgan,
 })
+
+
+# ---------------------------------------------------------------- ea2fpn
+# The reference's DEFAULT net_d (ea2fpn_arch.py:214-309): ResNet18 encoder
+# (registered twice in the torch state_dict — as `base_model.*` and through
+# the aliased `layer_down*` Sequentials), SN pyramid/segmentation convs,
+# DySample upsamplers, linear-attention aggregation.  The torch
+# Conv3x3GNMish constructs an (unused) DySample even when upsample=False
+# (ea2fpn_arch.py:158-164); import ignores it, export synthesizes it so
+# strict loads succeed.
+
+
+def _seg_upsamples(seg: str) -> int:
+    return {"s5": 3, "s4": 2, "s3": 1, "s2": 0}[seg]
+
+
+def convert_ea2fpn(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Reference ea2fpn .pth -> our flax params (+ batch_stats for BN
+    running statistics and SN power-iteration u/v)."""
+    out: dict[str, np.ndarray] = {}
+    used: set[str] = set()
+    # trunk: read the torchvision-layout copy under base_model.*
+    trunk_sd = {
+        k[len("base_model."):]: v for k, v in sd.items()
+        if k.startswith("base_model.") and not k.startswith("base_model.fc")
+    }
+    for k, v in convert_resnet18_trunk(trunk_sd).items():
+        if k.startswith("batch_stats::"):
+            out["batch_stats::ResNet18Trunk_0." + k[len("batch_stats::"):]] = v
+        else:
+            out[f"ResNet18Trunk_0.{k}"] = v
+    _put_sn(out, "SNConv_0", sd, "conv1")
+    # FPN blocks p4/p3/p2: DySample_0..2 + skip Conv_0..2
+    for i, p in enumerate(("p4", "p3", "p2")):
+        _dysample(out, f"DySample_{i}", sd, f"{p}.dysample", used)
+        out[f"Conv_{i}.kernel"] = _k(sd[f"{p}.skip_conv.weight"])
+        out[f"Conv_{i}.bias"] = sd[f"{p}.skip_conv.bias"]
+    # segmentation heads: Conv3x3GNMish_0..6 in s5,s4,s3,s2 order
+    gn = 0
+    for seg in ("s5", "s4", "s3", "s2"):
+        n_up = _seg_upsamples(seg)
+        for b in range(max(n_up, 1)):
+            tp, sc = f"{seg}.block.{b}", f"Conv3x3GNMish_{gn}"
+            _put_sn(out, f"{sc}.SNConv_0", sd, f"{tp}.block.0")
+            out[f"{sc}.GroupNorm_0.scale"] = sd[f"{tp}.block.1.weight"]
+            out[f"{sc}.GroupNorm_0.bias"] = sd[f"{tp}.block.1.bias"]
+            if n_up > 0:  # torch registers a dysample even when unused
+                _dysample(out, f"{sc}.DySample_0", sd, f"{tp}.dysample", used)
+            gn += 1
+    # attention aggregation: SN convblk + BN + linear attention
+    _put_sn(out, "SNConv_1", sd, "attention.convblk.conv")
+    _put_bn(out, "BatchStatNorm_0", sd, "attention.convblk.bn", used)
+    att = "attention.conv_atten"
+    out["LinearAttention_0.gamma"] = sd[f"{att}.gamma"]
+    for i, name in enumerate(("query_conv", "key_conv", "value_conv")):
+        out[f"LinearAttention_0.Conv_{i}.kernel"] = _k(sd[f"{att}.{name}.weight"])
+        out[f"LinearAttention_0.Conv_{i}.bias"] = sd[f"{att}.{name}.bias"]
+    _put_sn(out, "SNConv_2", sd, "final_conv")
+    _dysample(out, "DySample_3", sd, "dysample", used)
+    return out
+
+
+def export_resnet18_trunk(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_resnet18_trunk: ea2fpn.ResNet18Trunk params (+
+    batch_stats:: running stats) -> torchvision-layout ResNet18 keys."""
+    out: dict[str, np.ndarray] = {}
+    _get_raw_conv(flat, "Conv_0", out, "conv1")
+    _get_bn(flat, "BatchStatNorm_0", out, "bn1")
+    for layer in range(1, 5):
+        for tb, ob in ((1, 0), (0, 1)):
+            tp = f"layer{layer}.{tb}"
+            sc = f"BasicBlock_{2 * (layer - 1) + ob}"
+            _get_raw_conv(flat, f"{sc}.Conv_0", out, f"{tp}.conv1")
+            _get_bn(flat, f"{sc}.BatchStatNorm_0", out, f"{tp}.bn1")
+            _get_raw_conv(flat, f"{sc}.Conv_1", out, f"{tp}.conv2")
+            _get_bn(flat, f"{sc}.BatchStatNorm_1", out, f"{tp}.bn2")
+            if f"{sc}.Conv_2.kernel" in flat:
+                _get_raw_conv(flat, f"{sc}.Conv_2", out, f"{tp}.downsample.0")
+                _get_bn(flat, f"{sc}.BatchStatNorm_2", out, f"{tp}.downsample.1")
+    return out
+
+
+def _synth_dysample_torch(out: dict, tp: str, in_ch: int = 64, scale: int = 2,
+                          groups: int = 4, end_conv: bool = True) -> None:
+    """Emit init-shaped buffers for a torch DySample that exists in the
+    module tree but is never called (Conv3x3GNMish upsample=False)."""
+    oc = 2 * groups * scale**2
+    out[f"{tp}.offset.weight"] = np.zeros((oc, in_ch, 1, 1), np.float32)
+    out[f"{tp}.offset.bias"] = np.zeros((oc,), np.float32)
+    out[f"{tp}.scope.weight"] = np.zeros((oc, in_ch, 1, 1), np.float32)
+    if end_conv:
+        out[f"{tp}.end_conv.weight"] = np.zeros((in_ch, in_ch, 1, 1), np.float32)
+        out[f"{tp}.end_conv.bias"] = np.zeros((in_ch,), np.float32)
+    h = (np.arange(scale, dtype=np.float32) - (scale - 1) / 2) / scale
+    gy, gx = np.meshgrid(h, h, indexing="ij")
+    init = np.stack([gx, gy], axis=-1)
+    init = np.tile(init[None, :, :, None, :], (1, 1, 1, groups, 1))
+    out[f"{tp}.init_pos"] = (
+        init.transpose(0, 4, 3, 1, 2).reshape(1, -1, 1, 1).astype(np.float32)
+    )
+
+
+def export_ea2fpn(flat: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Inverse of convert_ea2fpn; emits BOTH registered copies of the trunk
+    (base_model.* and the aliased layer_down* paths) plus the unused
+    base_model.fc head so reference strict loads succeed."""
+    out: dict[str, np.ndarray] = {}
+    trunk_flat = {
+        k[len("ResNet18Trunk_0."):]: v for k, v in flat.items()
+        if k.startswith("ResNet18Trunk_0.")
+    }
+    trunk_flat.update({
+        "batch_stats::" + k[len("batch_stats::ResNet18Trunk_0."):]: v
+        for k, v in flat.items()
+        if k.startswith("batch_stats::ResNet18Trunk_0.")
+    })
+    trunk = export_resnet18_trunk(trunk_flat)
+    for k, v in trunk.items():
+        out[f"base_model.{k}"] = v
+        if k.startswith("conv1."):
+            out["layer_down0.0." + k[len("conv1."):]] = v
+        elif k.startswith("bn1."):
+            out["layer_down0.1." + k[len("bn1."):]] = v
+        elif k.startswith("layer1."):
+            out["layer_down1.1." + k[len("layer1."):]] = v
+        else:
+            layer = int(k[5])  # layer2/3/4
+            out[f"layer_down{layer}." + k[len("layerN."):]] = v
+    out["base_model.fc.weight"] = np.zeros((1000, 512), np.float32)
+    out["base_model.fc.bias"] = np.zeros((1000,), np.float32)
+    _get_sn(flat, "SNConv_0", out, "conv1")
+    for i, p in enumerate(("p4", "p3", "p2")):
+        _get_dysample(flat, f"DySample_{i}", out, f"{p}.dysample",
+                      scale=2, groups=4)
+        from neosr_tpu.utils.torch_interop import _ik
+        out[f"{p}.skip_conv.weight"] = _ik(flat[f"Conv_{i}.kernel"])
+        out[f"{p}.skip_conv.bias"] = flat[f"Conv_{i}.bias"]
+    gn = 0
+    for seg in ("s5", "s4", "s3", "s2"):
+        n_up = _seg_upsamples(seg)
+        for b in range(max(n_up, 1)):
+            tp, sc = f"{seg}.block.{b}", f"Conv3x3GNMish_{gn}"
+            _get_sn(flat, f"{sc}.SNConv_0", out, f"{tp}.block.0")
+            out[f"{tp}.block.1.weight"] = flat[f"{sc}.GroupNorm_0.scale"]
+            out[f"{tp}.block.1.bias"] = flat[f"{sc}.GroupNorm_0.bias"]
+            if n_up > 0:
+                _get_dysample(flat, f"{sc}.DySample_0", out, f"{tp}.dysample",
+                              scale=2, groups=4)
+            else:
+                _synth_dysample_torch(out, f"{tp}.dysample")
+            gn += 1
+    _get_sn(flat, "SNConv_1", out, "attention.convblk.conv")
+    _get_bn(flat, "BatchStatNorm_0", out, "attention.convblk.bn")
+    att = "attention.conv_atten"
+    out[f"{att}.gamma"] = flat["LinearAttention_0.gamma"]
+    from neosr_tpu.utils.torch_interop import _ik
+    for i, name in enumerate(("query_conv", "key_conv", "value_conv")):
+        out[f"{att}.{name}.weight"] = _ik(flat[f"LinearAttention_0.Conv_{i}.kernel"])
+        out[f"{att}.{name}.bias"] = flat[f"LinearAttention_0.Conv_{i}.bias"]
+    _get_sn(flat, "SNConv_2", out, "final_conv")
+    _get_dysample(flat, "DySample_3", out, "dysample", scale=4, groups=3)
+    return out
+
+
+EXT_CONVERTERS["ea2fpn"] = convert_ea2fpn
+EXT_EXPORTERS["ea2fpn"] = export_ea2fpn

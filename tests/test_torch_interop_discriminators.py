@@ -150,3 +150,125 @@ def test_sn_train_step_updates_uv(x):
         np.asarray(mut["batch_stats"]["SNConv_0"]["u"]), u1, atol=1e-5)
     np.testing.assert_allclose(
         np.asarray(mut["batch_stats"]["SNConv_0"]["v"]), v1, atol=1e-5)
+
+
+# ---------------------------------------------------------------- ea2fpn
+def _fake_torchvision():
+    """Install a minimal torchvision so the reference ea2fpn_arch imports:
+    an honest ResNet18 with torchvision's exact child order and param
+    names, random-init (the real package and its ImageNet weights are
+    unavailable in this environment)."""
+    import sys
+    import types
+
+    if "torchvision" in sys.modules:
+        return
+    from torch import nn as tnn
+
+    class _Basic(tnn.Module):
+        def __init__(self, cin, cout, stride=1):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(cout)
+            self.relu = tnn.ReLU(inplace=True)
+            self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(cout)
+            self.downsample = None
+            if stride != 1 or cin != cout:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                    tnn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return self.relu(y + idt)
+
+    class _ResNet18(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            torch.manual_seed(3)
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU(inplace=True)
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            self.layer1 = tnn.Sequential(_Basic(64, 64), _Basic(64, 64))
+            self.layer2 = tnn.Sequential(_Basic(64, 128, 2), _Basic(128, 128))
+            self.layer3 = tnn.Sequential(_Basic(128, 256, 2), _Basic(256, 256))
+            self.layer4 = tnn.Sequential(_Basic(256, 512, 2), _Basic(512, 512))
+            self.avgpool = tnn.AdaptiveAvgPool2d(1)
+            self.fc = tnn.Linear(512, 1000)
+
+    tv = types.ModuleType("torchvision")
+    tvm = types.ModuleType("torchvision.models")
+
+    class _W:
+        DEFAULT = None
+
+    tvm.resnet18 = lambda weights=None: _ResNet18()
+    tvm.ResNet18_Weights = _W
+    tv.models = tvm
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tvm
+
+
+@pytest.fixture()
+def cpu_pinmem(monkeypatch):
+    """Reference DySample passes pin_memory=True (arch_util.py:92), which
+    needs CUDA; strip it on the CPU-only build."""
+    real = torch.tensor
+
+    def no_pin(*args, **kwargs):
+        kwargs.pop("pin_memory", None)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(torch, "tensor", no_pin)
+
+
+def test_ea2fpn_pth_import_exact(cpu_pinmem):
+    """Full reference ea2fpn (default net_d) -> our flax ea2fpn: same
+    eval logits.  Burn-in updates BN running stats and SN u/v so the
+    transferred state is non-trivial."""
+    _fake_torchvision()
+    mod = _load_ref_arch("ea2fpn_arch")
+    m = mod.ea2fpn()
+    x = np.random.default_rng(11).random((2, 64, 64, 3)).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    m.train()
+    with torch.no_grad():
+        for _ in range(3):
+            m(xt)
+    m.eval()
+    with torch.no_grad():
+        theirs = m(xt).numpy().transpose(0, 2, 3, 1)
+    ours = _ours("ea2fpn", {}, _state_dict_np(m), x)
+    np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-3)
+
+
+def test_ea2fpn_pth_export_roundtrip(cpu_pinmem):
+    """Random flax ea2fpn -> torch layout (incl. the aliased layer_down*
+    trunk copies, fc head, and the never-called s2 DySample) -> strict
+    load into the reference module -> identical eval logits."""
+    _fake_torchvision()
+    mod = _load_ref_arch("ea2fpn_arch")
+    x = np.random.default_rng(12).random((1, 64, 64, 3)).astype(np.float32)
+    net = build_network({"type": "ea2fpn"}, scale=4)
+    variables = net.init(jax.random.PRNGKey(2), jnp.asarray(x))
+    sd = to_torch_state_dict(
+        jax.device_get(variables["params"]), "ea2fpn",
+        batch_stats=jax.device_get(variables["batch_stats"]),
+    )
+    m = mod.ea2fpn()
+    missing, unexpected = m.load_state_dict(
+        {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}, strict=True
+    )
+    assert not missing and not unexpected
+    m.eval()
+    with torch.no_grad():
+        theirs = m(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    ours = jax.jit(lambda v, y: net.apply(v, y))(variables, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(ours), theirs.numpy().transpose(0, 2, 3, 1),
+        atol=2e-4, rtol=1e-3,
+    )
