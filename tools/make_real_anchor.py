@@ -1,0 +1,76 @@
+"""Build the REAL-photo quality-anchor dataset from images bundled with
+installed packages (this environment has no internet and no SR datasets;
+these are the only real photographs on the machine):
+
+  train : sklearn's china.jpg + flower.jpg (427x640 each) -> overlapping
+          256x256 GT tiles (stride 128, edge-anchored rows/cols included)
+  val   : matplotlib's grace_hopper.jpg — a HELD-OUT IMAGE, not held-out
+          crops — center-cropped to 256-multiples and tiled 256x256
+
+LQ is bicubic x4 (cv2 INTER_CUBIC), the same protocol as the synthetic
+anchor set (tools/make_anchor_dataset.py), so PSNR/SSIM deltas over the
+bicubic baseline are directly comparable across the two anchor families.
+
+Usage: python tools/make_real_anchor.py [--root /tmp/anchor_real]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import cv2
+import numpy as np
+
+
+def _sources() -> tuple[list[np.ndarray], list[np.ndarray]]:
+    import matplotlib
+    from sklearn.datasets import load_sample_images
+
+    train = [img.astype(np.uint8) for img in load_sample_images().images]
+    hopper_path = os.path.join(
+        os.path.dirname(matplotlib.__file__),
+        "mpl-data", "sample_data", "grace_hopper.jpg",
+    )
+    hopper = cv2.cvtColor(cv2.imread(hopper_path), cv2.COLOR_BGR2RGB)
+    return train, [hopper]
+
+
+def _tiles(img: np.ndarray, size: int, stride: int) -> list[np.ndarray]:
+    h, w = img.shape[:2]
+    ys = sorted({*range(0, h - size + 1, stride), h - size})
+    xs = sorted({*range(0, w - size + 1, stride), w - size})
+    return [img[y:y + size, x:x + size] for y in ys for x in xs]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/anchor_real")
+    args = ap.parse_args()
+    for sub in ("gt", "lq", "val_gt", "val_lq"):
+        os.makedirs(os.path.join(args.root, sub), exist_ok=True)
+
+    train_imgs, val_imgs = _sources()
+    n = 0
+    for img in train_imgs:
+        for t in _tiles(img, 256, 128):
+            lq = cv2.resize(t, (64, 64), interpolation=cv2.INTER_CUBIC)
+            cv2.imwrite(os.path.join(args.root, "gt", f"img{n:03d}.png"),
+                        cv2.cvtColor(t, cv2.COLOR_RGB2BGR))
+            cv2.imwrite(os.path.join(args.root, "lq", f"img{n:03d}.png"),
+                        cv2.cvtColor(lq, cv2.COLOR_RGB2BGR))
+            n += 1
+    m = 0
+    for img in val_imgs:
+        for t in _tiles(img, 256, 256):
+            lq = cv2.resize(t, (64, 64), interpolation=cv2.INTER_CUBIC)
+            cv2.imwrite(os.path.join(args.root, "val_gt", f"img{m:03d}.png"),
+                        cv2.cvtColor(t, cv2.COLOR_RGB2BGR))
+            cv2.imwrite(os.path.join(args.root, "val_lq", f"img{m:03d}.png"),
+                        cv2.cvtColor(lq, cv2.COLOR_RGB2BGR))
+            m += 1
+    print(f"real anchor dataset under {args.root}: {n} train / {m} val tiles")
+
+
+if __name__ == "__main__":
+    main()
