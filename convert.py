@@ -33,12 +33,18 @@ def load_network(args):
 
     dtype = jnp.bfloat16 if args.fp16 else jnp.float32
     net_opt = {"type": args.network}
-    if args.opt:  # optional TOML carrying the exact [network_g] hyperparams
+    if args.opt:  # optional TOML carrying the exact network hyperparams
         from neosr_tpu.utils.options import toml_load
 
         cfg = toml_load(args.opt)
-        if cfg.get("network_g", {}).get("type", args.network) == args.network:
-            net_opt.update(cfg["network_g"])
+        # [network_g] for generators (untyped sections keep matching, as
+        # before), [network_d] for discriminator nets (explicit type only)
+        net_g, net_d = cfg.get("network_g", {}), cfg.get("network_d", {})
+        if net_g and net_g.get("type", args.network) == args.network:
+            net_opt.update(net_g)
+            net_opt["type"] = args.network
+        elif net_d.get("type") == args.network:
+            net_opt.update(net_d)
             net_opt["type"] = args.network
     if args.window:  # archs like omnisr need the window explicitly
         net_opt.setdefault("window_size", args.window)
