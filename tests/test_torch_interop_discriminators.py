@@ -161,7 +161,8 @@ def _fake_torchvision():
     import sys
     import types
 
-    if "torchvision" in sys.modules:
+    if "torchvision" in sys.modules and hasattr(
+            sys.modules.get("torchvision.models"), "resnet18"):
         return
     from torch import nn as tnn
 
@@ -200,17 +201,21 @@ def _fake_torchvision():
             self.avgpool = tnn.AdaptiveAvgPool2d(1)
             self.fc = tnn.Linear(512, 1000)
 
-    tv = types.ModuleType("torchvision")
-    tvm = types.ModuleType("torchvision.models")
+    # augment an existing stub (test_feature_losses installs a VGG-only
+    # torchvision for the perceptual-loss tests) or install a fresh one
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvm = types.ModuleType("torchvision.models")
+        tv.models = tvm
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tvm
+    tvm = sys.modules["torchvision.models"]
 
     class _W:
         DEFAULT = None
 
     tvm.resnet18 = lambda weights=None: _ResNet18()
     tvm.ResNet18_Weights = _W
-    tv.models = tvm
-    sys.modules["torchvision"] = tv
-    sys.modules["torchvision.models"] = tvm
 
 
 @pytest.fixture()
