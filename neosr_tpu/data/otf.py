@@ -45,8 +45,9 @@ class otf:
             self.io_backend_opt["db_paths"] = [self.gt_folder]
             self.io_backend_opt["client_keys"] = ["gt"]
             self.paths = paths_from_lmdb(self.gt_folder)
-        elif opt.get("meta_info"):
-            with open(opt["meta_info"], encoding="utf-8") as fin:
+        elif opt.get("meta_info") or opt.get("meta_info_file"):
+            mi = opt.get("meta_info_file") or opt["meta_info"]
+            with open(mi, encoding="utf-8") as fin:
                 import os.path as osp
 
                 self.paths = [osp.join(self.gt_folder, line.rstrip()) for line in fin]

@@ -51,10 +51,13 @@ class paired:
             self.paths = [
                 {"lq_path": name, "gt_path": name} for name in lq_names
             ]
-        elif opt.get("meta_info") is not None:
+        elif opt.get("meta_info") or opt.get("meta_info_file"):
+            # the reference gates on `meta_info` but reads the path from
+            # `meta_info_file` (paired_dataset.py:76-82); accept either
             self.paths = paired_paths_from_meta_info_file(
                 [self.lq_folder, self.gt_folder], ["lq", "gt"],
-                opt["meta_info"], self.filename_tmpl,
+                opt.get("meta_info_file") or opt["meta_info"],
+                self.filename_tmpl,
             )
         else:
             self.paths = paired_paths_from_folder(

@@ -32,8 +32,9 @@ class single:
             self.io_backend_opt["db_paths"] = [self.lq_folder]
             self.io_backend_opt["client_keys"] = ["lq"]
             self.paths = paths_from_lmdb(self.lq_folder)
-        elif self.opt.get("meta_info"):
-            with open(self.opt["meta_info"], encoding="utf-8") as fin:
+        elif self.opt.get("meta_info") or self.opt.get("meta_info_file"):
+            mi = self.opt.get("meta_info_file") or self.opt["meta_info"]
+            with open(mi, encoding="utf-8") as fin:
                 self.paths = [
                     osp.join(self.lq_folder, line.rstrip()) for line in fin if line.strip()
                 ]

@@ -107,6 +107,9 @@ class image(base):
         self.bstats_g = dict(variables.get("batch_stats", {}))
         n_params = sum(int(x.size) for x in jax.tree.leaves(self.params_g))
         logger.info(f"net_g parameters: {n_params:,d}")
+        if opt.get("path", {}).get("print_network", False):
+            # reference base.py print_network: full module description
+            logger.info(f"Network [net_g]:\n{self.net_g}")
 
         # --- pretrained weights -------------------------------------------
         load_path = opt.get("path", {}).get("pretrain_network_g")

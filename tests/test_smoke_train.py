@@ -329,3 +329,32 @@ def test_tiled_forward_matches_whole_image(tiny_paired_dataset, tmp_path):
     tiled = model._tiled_forward(variables, lq, tile=32, overlap=8)
     assert tiled.shape == whole.shape
     np.testing.assert_allclose(tiled, whole, atol=2e-3, rtol=1e-3)
+
+
+def test_paired_meta_info_file_alias(tmp_path):
+    """The reference gates on `meta_info` but reads the path from
+    `meta_info_file` (paired_dataset.py:76-82); both spellings work here."""
+    import cv2
+    import numpy as np
+
+    from neosr_tpu.data import build_dataset
+
+    for sub in ("gt", "lq"):
+        (tmp_path / sub).mkdir()
+    for i in range(2):
+        cv2.imwrite(str(tmp_path / "gt" / f"i{i}.png"),
+                    np.zeros((32, 32, 3), np.uint8))
+        cv2.imwrite(str(tmp_path / "lq" / f"i{i}.png"),
+                    np.zeros((8, 8, 3), np.uint8))
+    meta = tmp_path / "meta.txt"
+    meta.write_text("i0.png\ni1.png\n")
+    base = {
+        "name": "m", "type": "paired", "phase": "train", "scale": 4,
+        "dataroot_gt": str(tmp_path / "gt"), "dataroot_lq": str(tmp_path / "lq"),
+        "patch_size": 8, "batch_size": 1,
+    }
+    for key in ("meta_info", "meta_info_file"):
+        ds = build_dataset({**base, key: str(meta)})
+        assert len(ds) == 2
+        sample = ds[0]
+        assert sample["gt"].shape[0] == 32

@@ -87,6 +87,11 @@ def train_pipeline(root_path: str) -> None:
     opt, args = parse_options(root_path, is_train=True)
     opt["root_path"] = root_path
 
+    if opt.get("fast_matmul", False):
+        # reference semantics (train.py:169-173: TF32 matmuls); the TPU
+        # analog is bf16-input MXU matmuls for fp32 arrays
+        jax.config.update("jax_default_matmul_precision", "bfloat16")
+
     resume_state_path = load_resume_state(opt)
     if resume_state_path is not None:
         # rough resume iter for pretrain rewiring
