@@ -72,6 +72,14 @@ class paired:
             try:
                 img_bytes = self.file_client.get(path, client_key)
                 img = imfrombytes(img_bytes, float32=(self.out_dtype == "float32"))
+                if self.opt.get("color") == "y":
+                    # grayscale (luma) training, reference img2tensor
+                    # color=False path (img_util.py:42-48)
+                    import cv2
+
+                    return cv2.cvtColor(
+                        np.ascontiguousarray(img), cv2.COLOR_BGR2GRAY
+                    )[..., None]
                 return img[..., ::-1]  # BGR -> RGB
             except Exception:
                 retry -= 1

@@ -48,7 +48,14 @@ class single:
 
         lq_path = self.paths[index]
         img_bytes = self.file_client.get(lq_path, "lq")
-        img_lq = imfrombytes(img_bytes, float32=True)[..., ::-1]  # BGR -> RGB
+        img_lq = imfrombytes(img_bytes, float32=True)
+        if self.opt.get("color") == "y":
+            import cv2
+
+            img_lq = cv2.cvtColor(
+                np.ascontiguousarray(img_lq), cv2.COLOR_BGR2GRAY)[..., None]
+        else:
+            img_lq = img_lq[..., ::-1]  # BGR -> RGB
 
         if self.mean is not None or self.std is not None:
             mean = np.asarray(self.mean or 0.0, dtype=np.float32)

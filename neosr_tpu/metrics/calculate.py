@@ -27,7 +27,9 @@ def _prepare(img: np.ndarray, crop_border: int, test_y_channel: bool) -> np.ndar
     img = img.astype(np.float64)
     if crop_border != 0:
         img = img[crop_border:-crop_border, crop_border:-crop_border, ...]
-    if test_y_channel:
+    if test_y_channel and img.ndim == 3 and img.shape[2] == 3:
+        # already-grayscale (color="y" runs) passes through, matching the
+        # reference's to_y_channel guard (metric_util.py:35-51)
         img = _to_y_channel(img)
     return img.astype(np.float64)
 

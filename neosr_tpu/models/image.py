@@ -100,7 +100,8 @@ class image(base):
             patch = opt["datasets"]["train"].get("patch_size", 48)
         else:
             patch = 64
-        sample = jnp.zeros((1, patch, patch, 3), jnp.float32)
+        in_ch = 1 if opt.get("color") == "y" else 3
+        sample = jnp.zeros((1, patch, patch, in_ch), jnp.float32)
         variables = jax.jit(self.net_g.init)(init_rng, sample)
         self.params_g = variables["params"]
         # BN archs (dat/eimn/dctlsa/ea2fpn) carry running statistics
@@ -210,8 +211,9 @@ class image(base):
             init_rng, self.rng = jax.random.split(self.rng)
             patch = opt["datasets"]["train"].get("patch_size", 48)
             hr = patch * self.scale
+            in_ch = 1 if opt.get("color") == "y" else 3
             variables_d = self.net_d.init(
-                init_rng, jnp.zeros((1, hr, hr, 3), jnp.float32)
+                init_rng, jnp.zeros((1, hr, hr, in_ch), jnp.float32)
             )
             self.params_d = variables_d["params"]
             self.bstats_d = dict(variables_d.get("batch_stats", {}))

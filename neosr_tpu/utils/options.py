@@ -188,6 +188,8 @@ def opt_from_dict(
         dataset["phase"] = _phase
         if "scale" in opt:
             dataset["scale"] = opt["scale"]
+        if "color" in opt:  # top-level color = "y" reaches the loaders
+            dataset.setdefault("color", opt["color"])
         for key in ("dataroot_gt", "dataroot_lq"):
             if dataset.get(key) is not None:
                 dataset[key] = str(Path(dataset[key]).expanduser())

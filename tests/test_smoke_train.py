@@ -358,3 +358,67 @@ def test_paired_meta_info_file_alias(tmp_path):
         assert len(ds) == 2
         sample = ds[0]
         assert sample["gt"].shape[0] == 32
+
+
+def test_grayscale_color_y_training(tmp_path):
+    """`color = "y"` trains a 1-channel model on luma images (reference
+    img2tensor color=False path, img_util.py:42-48) and validates with the
+    y-channel metric guard."""
+    import cv2
+    import numpy as np
+
+    from neosr_tpu.models import build_model
+    from neosr_tpu.utils.options import opt_from_dict
+
+    rng = np.random.default_rng(0)
+    for sub in ("gt", "lq", "vgt", "vlq"):
+        (tmp_path / sub).mkdir()
+    for i in range(3):
+        g = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / "gt" / f"i{i}.png"), g)
+        cv2.imwrite(str(tmp_path / "lq" / f"i{i}.png"),
+                    cv2.resize(g, (8, 8), interpolation=cv2.INTER_CUBIC))
+    g = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    cv2.imwrite(str(tmp_path / "vgt" / "v.png"), g)
+    cv2.imwrite(str(tmp_path / "vlq" / "v.png"),
+                cv2.resize(g, (8, 8), interpolation=cv2.INTER_CUBIC))
+
+    opt = opt_from_dict({
+        "name": "gray", "model_type": "image", "scale": 4, "num_gpu": 1,
+        "manual_seed": 0, "color": "y",
+        "datasets": {
+            "train": {"type": "paired", "phase": "train",
+                      "dataroot_gt": str(tmp_path / "gt"),
+                      "dataroot_lq": str(tmp_path / "lq"),
+                      "patch_size": 8, "batch_size": 2},
+            "val": {"name": "v", "type": "paired", "phase": "val",
+                    "dataroot_gt": str(tmp_path / "vgt"),
+                    "dataroot_lq": str(tmp_path / "vlq")},
+        },
+        "network_g": {"type": "compact", "num_feat": 8, "num_conv": 2,
+                      "num_in_ch": 1, "num_out_ch": 1},
+        "path": {},
+        "train": {"optim_g": {"type": "adamw", "lr": 1e-3},
+                  "pixel_opt": {"type": "L1Loss", "loss_weight": 1.0}},
+        "val": {"metrics": {"psnr": {"type": "calculate_psnr",
+                                     "test_y_channel": True}}},
+        "logger": {"total_iter": 4},
+    }, root_path=str(tmp_path), is_train=True)
+    model = build_model(opt)
+
+    from neosr_tpu.data import build_dataloader, build_dataset
+
+    tr = build_dataset(opt["datasets"]["train"])
+    sample = tr[0]
+    assert sample["gt"].shape[-1] == 1 and sample["lq"].shape[-1] == 1
+    loader = build_dataloader(tr, opt["datasets"]["train"], seed=0)
+    it = iter(loader)
+    for step in range(1, 3):
+        model.feed_data(next(it))
+        model.optimize_parameters(step)
+    assert np.isfinite(model.log_dict["l_g_pixel"])
+
+    vl = build_dataset(opt["datasets"]["val"])
+    vloader = build_dataloader(vl, opt["datasets"]["val"], seed=0)
+    model.validation(vloader, current_iter=2, tb_logger=None, save_img=False)
+    assert np.isfinite(model.best_metric_results["v"]["psnr"]["val"])
