@@ -31,7 +31,9 @@ def load_network(args):
     from neosr_tpu.archs import build_network
     from neosr_tpu.utils.checkpoint import load_pytree, load_safetensors
 
-    dtype = jnp.bfloat16 if args.fp16 else jnp.float32
+    # --fp16 produces derived half-precision ARTIFACTS (reference
+    # convert.py:168-181); the live network and all parity checks stay fp32
+    dtype = jnp.float32
     net_opt = {"type": args.network}
     if args.opt:  # optional TOML carrying the exact network hyperparams
         from neosr_tpu.utils.options import toml_load
@@ -116,11 +118,10 @@ def to_exports(args) -> None:
     from neosr_tpu.utils.logger import get_root_logger
 
     logger = get_root_logger()
-    if not args.fp16:
-        # export + parity verification want true fp32 numerics; on TPU the
-        # default conv/matmul precision is bf16 passes, which fails the
-        # reference's rtol .01/atol .001 gate near zero
-        jax.config.update("jax_default_matmul_precision", "highest")
+    # export + parity verification want true fp32 numerics; on TPU the
+    # default conv/matmul precision is bf16 passes, which fails the
+    # reference's rtol .01/atol .001 gate near zero
+    jax.config.update("jax_default_matmul_precision", "highest")
     net, params, bstats = load_network(args)
     variables = {"params": params}
     if bstats:
@@ -207,6 +208,15 @@ def to_exports(args) -> None:
                 assert_verify(torch_fwd, jit_forward, shape)
                 logger.info("ONNX-graph parity check passed "
                             "(torch mirror vs flax, rtol=0.01, atol=0.001)")
+            if args.fp16:
+                # reference convert.py:168-181 writes a *_fp16.onnx next to
+                # the fp32 one (checker-validated, not numerically gated)
+                fp16_path = out_dir / f"{stem}_fp16.onnx"
+                export_onnx(mirror.half(), fp16_path, shape_hw=shape[1:3],
+                            channels=shape[3], dynamic=args.static is None,
+                            fp16=True)
+                mirror.float()
+                logger.info(f"fp16 ONNX written: {fp16_path}")
         except ValueError as e:
             logger.warning(f"{e}")
             try:

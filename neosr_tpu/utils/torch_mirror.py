@@ -4288,15 +4288,19 @@ def build_torch_mirror(arch_type: str, net_opt: dict[str, Any], scale: int,
 
 def export_onnx(mirror, path, shape_hw: tuple[int, int] = (256, 256),
                 channels: int = 3, dynamic: bool = True,
-                opset: int = 17) -> None:
+                opset: int = 17, fp16: bool = False) -> None:
     """torch.onnx.export with the reference's axis conventions
     (/root/reference/convert.py:126-138): NCHW input named 'input', output
-    'output', dynamic batch/height/width unless a static shape is pinned."""
+    'output', dynamic batch/height/width unless a static shape is pinned.
+    With `fp16`, traces a half-precision graph (the reference emits a
+    *_fp16.onnx alongside, convert.py:168-181)."""
     import torch
 
     ensure_onnx_exportable()
     h, w = shape_hw
     x = torch.randn(1, channels, h, w)
+    if fp16:
+        x = x.half()
     dyn = (
         {"input": {0: "batch", 2: "height", 3: "width"},
          "output": {0: "batch", 2: "height", 3: "width"}}

@@ -33,7 +33,7 @@ def test_convert_cli_all_formats(tmp_path):
     res = subprocess.run(
         [sys.executable, str(ROOT / "convert.py"),
          "--input", str(ckpt), "-net", "compact", "-s", "2",
-         "-opt", str(cfg), "--onnx", "--safetensor", "--pth",
+         "-opt", str(cfg), "--onnx", "--safetensor", "--pth", "--fp16",
          "-static", "3", "32", "32", "--output", str(out)],
         capture_output=True, text=True, timeout=900, cwd=str(ROOT),
     )
@@ -41,6 +41,7 @@ def test_convert_cli_all_formats(tmp_path):
     assert res.returncode == 0, log[-2000:]
     for suffix in (".safetensors", ".pth", ".stablehlo", ".onnx"):
         assert (out / f"c{suffix}").exists(), f"missing {suffix}: {log[-1500:]}"
+    assert (out / "c_fp16.onnx").exists(), f"missing fp16 onnx: {log[-1500:]}"
     assert "ONNX-graph parity check passed" in log
     assert "StableHLO parity check passed" in log
 
