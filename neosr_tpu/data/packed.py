@@ -76,6 +76,17 @@ class paired_packed:
             h, w = img_lq.shape[:2]
             img_gt = img_gt[: h * scale, : w * scale, :]
 
+        if self.opt.get("color") == "y" and img_gt.shape[-1] == 3:
+            # packs store RGB; BT.601 luma matches cv2 RGB2GRAY (the
+            # reference img2tensor color=False path)
+            coef = np.asarray([0.299, 0.587, 0.114], img_gt.dtype
+                              if img_gt.dtype != np.uint8 else np.float32)
+            img_gt = (img_gt.astype(np.float32) @ coef)[..., None]
+            img_lq = (img_lq.astype(np.float32) @ coef)[..., None]
+            if self.opt.get("phase") == "train":
+                img_gt = np.clip(np.rint(img_gt), 0, 255).astype(np.uint8)
+                img_lq = np.clip(np.rint(img_lq), 0, 255).astype(np.uint8)
+
         return {
             "lq": np.ascontiguousarray(img_lq),
             "gt": np.ascontiguousarray(img_gt),
