@@ -319,7 +319,7 @@ def bench_transformer_train(
 
 def bench_esrgan_otf_full(
     batch: int = 16, gt_size: int = 256, scale: int = 4,
-    warmup: int = 2, iters: int = 10,
+    warmup: int = 2, iters: int = 10, windows: int = 3,
 ) -> dict:
     """The BASELINE north-star: esrgan training WITH on-the-fly degradations
     and U-Net GAN, full feed_data + train step per iteration."""
@@ -412,13 +412,22 @@ def bench_esrgan_otf_full(
     trace_dir = os.environ.get("NEOSR_BENCH_TRACE")
     ctx = (jax.profiler.trace(trace_dir) if trace_dir
            else contextlib.nullcontext())
+    # a single 10-step window (~1.3 s) is hostage to one transient stall
+    # in the measuring session; time `windows` windows over the same staged
+    # device batches (input values don't change step runtime) and report
+    # the median
+    window_dts = []
     with ctx:
-        t0 = time.perf_counter()
-        for i in range(iters):
-            model._pending = staged[i]
-            model.optimize_parameters(warmup + i + 1)
-        _sync(model)
-        dt = time.perf_counter() - t0
+        step = warmup
+        for _w in range(windows):
+            t0 = time.perf_counter()
+            for i in range(iters):
+                model._pending = staged[i]
+                step += 1
+                model.optimize_parameters(step)
+            _sync(model)
+            window_dts.append(time.perf_counter() - t0)
+    dt = sorted(window_dts)[len(window_dts) // 2]
     return {
         "metric": "esrgan_otf_full_patches_per_sec_per_chip",
         "value": round(batch * iters / dt / n_chips, 2),
@@ -427,7 +436,9 @@ def bench_esrgan_otf_full(
         # ~30-60 patches/s -> ratio vs 2*60 (conservative upper figure)
         "vs_baseline": round(batch * iters / dt / n_chips / 120.0, 2),
         "detail": {"n_chips": n_chips, "batch": batch, "gt_size": gt_size,
-                   "patch": patch, "iters": iters, "wall_s": round(dt, 3)},
+                   "patch": patch, "iters": iters, "wall_s": round(dt, 3),
+                   "window_p_s": [round(batch * iters / d / n_chips, 2)
+                                  for d in window_dts]},
     }
 
 
