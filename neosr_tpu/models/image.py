@@ -754,12 +754,27 @@ class image(base):
             metric_results = dict.fromkeys(self.opt["val"]["metrics"], 0.0)
 
         n_imgs = 0
+        pbar = None
+        if self.opt.get("val", {}).get("pbar", True):
+            # reference image.py:800-885: tqdm progress over val images
+            try:
+                from tqdm import tqdm
+
+                pbar = tqdm(total=len(dataloader.dataset), unit="image",
+                            colour="green", ascii=" >=", ncols=75,
+                            disable=None)
+            except ImportError:
+                pbar = None
         for val_data in dataloader:
             img_name = Path(val_data["lq_path"]).stem
+            if pbar is not None:
+                pbar.set_description(f"Inferring on {img_name}")
             self.feed_data(val_data)
             self.test()
             sr_img_rgb = tensor2img(jax.device_get(self.output), rgb2bgr=False)
             n_imgs += 1
+            if pbar is not None:
+                pbar.update(1)
 
             if (
                 tb_logger is not None
@@ -807,6 +822,8 @@ class image(base):
                     else:
                         metric_results[name] += calculate_metric(data, opt_)
 
+        if pbar is not None:
+            pbar.close()
         if with_metrics and n_imgs:
             for metric in metric_results:
                 metric_results[metric] /= n_imgs
