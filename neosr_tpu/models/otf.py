@@ -62,6 +62,14 @@ def _pool_update(pool_lq, pool_gt, ptr, lq, gt, key):
 @MODEL_REGISTRY.register()
 class otf(image):
     def __init__(self, opt: dict[str, Any]) -> None:
+        if opt.get("color") == "y":
+            msg = (
+                f"{tc.red}color='y' is not supported by the otf model: the "
+                "Real-ESRGAN degradation pipeline (gray-noise blending, "
+                "DiffJPEG chroma path) is defined on RGB. Train grayscale "
+                "with model_type='image'.{}"
+            ).format(tc.end)
+            raise ValueError(msg)
         super().__init__(opt)
         train_ds = opt["datasets"].get("train", {})
         self.patch_size = train_ds.get("patch_size", 48)

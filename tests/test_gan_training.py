@@ -151,3 +151,12 @@ def test_symlet_filter_bank():
         assert abs(np.dot(np.arange(len(hi), dtype=np.float64) ** p, hi)) < 1e-9
     db_lo, _ = daubechies_filters(19)
     assert _phase_nonlinearity(lo[::-1]) < _phase_nonlinearity(db_lo[::-1]) / 10
+
+
+def test_otf_rejects_grayscale():
+    import pytest as _pytest
+
+    from neosr_tpu.models.otf import otf
+
+    with _pytest.raises(ValueError, match="color='y'"):
+        otf({"color": "y", "datasets": {"train": {}}})
