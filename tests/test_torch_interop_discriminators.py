@@ -161,9 +161,6 @@ def _fake_torchvision():
     import sys
     import types
 
-    if "torchvision" in sys.modules and hasattr(
-            sys.modules.get("torchvision.models"), "resnet18"):
-        return
     from torch import nn as tnn
 
     class _Basic(tnn.Module):
@@ -202,7 +199,8 @@ def _fake_torchvision():
             self.fc = tnn.Linear(512, 1000)
 
     # augment an existing stub (test_feature_losses installs a VGG-only
-    # torchvision for the perceptual-loss tests) or install a fresh one
+    # torchvision; test_losses installs a RAISING resnet18) or install a
+    # fresh one — always overriding resnet18 with the working fake
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
         tvm = types.ModuleType("torchvision.models")
