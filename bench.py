@@ -487,7 +487,11 @@ def _run_all() -> None:
             out = _sp.run(
                 [_sys.executable, __file__, name],
                 capture_output=True, text=True,
-                timeout=max(_remaining(), 60),
+                # cap per metric so one hung tunnel/device-init can't eat
+                # the whole budget (observed: jax.devices() hanging for
+                # hours when the axon relay drops); floor 600 s still
+                # admits the slow first compiles
+                timeout=min(max(_remaining(), 60), max(2 * est, 600)),
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])
         except Exception as e:  # noqa: BLE001 — a dead sub-bench must not hide the rest
