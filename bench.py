@@ -442,6 +442,63 @@ def bench_esrgan_otf_full(
     }
 
 
+def bench_infer(
+    arch_type: str = "compact", lq_size: int = 256, tile: int = -1,
+    scale: int = 4, warmup: int = 3, iters: int = 20,
+    network_extra: dict | None = None,
+) -> dict:
+    """Inference fps under the test.py contract (reference test.py:60-65):
+    feed_data -> model.test() -> fetch the SR image to the host, per image.
+    `tile > 0` exercises the overlapping-tile path (the big-image workhorse,
+    reference image.py:684-784) on the same input."""
+    import jax
+
+    from neosr_tpu.models import build_model
+    from neosr_tpu.utils.options import opt_from_dict
+
+    n_chips = jax.device_count()
+    opt = {
+        "name": f"bench_infer_{arch_type}", "model_type": "image",
+        "scale": scale, "num_gpu": 1, "manual_seed": 0,
+        "use_amp": True, "bfloat16": True, "is_train": False,
+        "datasets": {}, "network_g": {"type": arch_type,
+                                      **(network_extra or {})},
+        "path": {}, "val": {"tile": tile},
+    }
+    opt = opt_from_dict(opt, root_path=".", is_train=False)
+    model = build_model(opt)
+
+    rng = np.random.default_rng(0)
+    img = rng.random((1, lq_size, lq_size, 3)).astype(np.float32)
+
+    def one() -> np.ndarray:
+        model.feed_data({"lq": img})
+        model.test()
+        return np.asarray(jax.device_get(model.output))
+
+    for _ in range(warmup):
+        out = one()
+    assert out.shape[1] == lq_size * scale
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        one()
+    dt = time.perf_counter() - t0
+
+    mpx_out = (lq_size * scale) ** 2 / 1e6
+    name = f"{arch_type}_infer_fps_{lq_size}" + (f"_tile{tile}" if tile > 0 else "")
+    return {
+        "metric": name,
+        "value": round(iters / dt, 2),
+        "unit": "images/s",
+        "vs_baseline": None,
+        "detail": {"n_chips": n_chips, "lq_size": lq_size, "tile": tile,
+                   "scale": scale, "iters": iters, "wall_s": round(dt, 3),
+                   "ms_per_image": round(dt / iters * 1e3, 1),
+                   "out_Mpx_per_s": round(mpx_out * iters / dt, 1)},
+    }
+
+
 def _run_all() -> None:
     """Every north-star metric (BASELINE.md) in one driver record: each
     metric streams as its own JSON line THE MOMENT it finishes (remote
@@ -470,8 +527,11 @@ def _run_all() -> None:
     plan = [
         ("compact", 120),
         ("otf", 120),
+        ("infer_compact", 120),
+        ("infer_esrgan", 240),
         ("transformer", 420),
         ("esrgan", 420),
+        ("infer_swinir", 300),
         ("esrgan_otf_full", 700),
     ]
     for name, est in plan:
@@ -528,6 +588,25 @@ if __name__ == "__main__":
         print(json.dumps(bench_esrgan_otf_full(**kw)))
     elif which == "compact":
         print(json.dumps(bench_compact_train()))
+    elif which == "infer_compact":
+        print(json.dumps(bench_infer("compact")))
+    elif which == "infer_esrgan":
+        # esrgan 256 whole-image @4x is heavy; pair a moderate whole-image
+        # run with the tiled path on the same large input
+        print(json.dumps(bench_infer("esrgan", lq_size=256, tile=-1, iters=10)))
+    elif which == "infer_swinir":
+        print(json.dumps(bench_infer("swinir_medium", lq_size=256, iters=5)))
+    elif which == "infer":
+        # ad-hoc: python bench.py infer <arch> [lq_size] [tile] [iters]
+        arch = sys.argv[2] if len(sys.argv) > 2 else "compact"
+        kw = {}
+        if len(sys.argv) > 3:
+            kw["lq_size"] = int(sys.argv[3])
+        if len(sys.argv) > 4:
+            kw["tile"] = int(sys.argv[4])
+        if len(sys.argv) > 5:
+            kw["iters"] = int(sys.argv[5])
+        print(json.dumps(bench_infer(arch, **kw)))
     elif which == "transformer":
         arch = sys.argv[2] if len(sys.argv) > 2 else "swinir_medium"
         kw = {}

@@ -74,6 +74,7 @@ def build_dataloader(
             num_workers=int(num_workers),
             prefetch_depth=dataset_opt.get("prefetch_depth", 2),
             drop_last=True,
+            seed=seed or 0,
         )
     if phase in {"val", "test"}:
         return EvalLoader(dataset)

@@ -77,11 +77,14 @@ class TrainLoader:
         num_workers: int = 4,
         prefetch_depth: int = 2,
         drop_last: bool = True,
+        seed: int = 0,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler
         self.drop_last = drop_last
+        self.seed = seed
+        self._pos = 0  # global position in the index stream
         self.pool = ThreadPoolExecutor(max_workers=max(num_workers, 1))
         self.q: queue.Queue = queue.Queue(maxsize=prefetch_depth)
         self._stop = threading.Event()
@@ -92,6 +95,17 @@ class TrainLoader:
     def __len__(self) -> int:
         n = len(self.sampler)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _fetch(self, idx: int, pos: int) -> Any:
+        """Fetch one sample with a per-position RNG: sample randomness
+        (crops/flips/kernel draws) derives from (loader seed, global stream
+        position), NOT from a dataset-shared generator raced by the worker
+        threads — so a run is bit-reproducible and, at a fixed global batch,
+        device-count invariant (the dp numerical-equivalence contract)."""
+        fetch = getattr(self.dataset, "fetch", None)
+        if fetch is not None:
+            return fetch(idx, np.random.default_rng((self.seed, pos)))
+        return self.dataset[idx]
 
     def _producer(self) -> None:
         # continuous index stream across virtual epochs: a dataset smaller
@@ -105,8 +119,10 @@ class TrainLoader:
             while len(buf) >= self.batch_size and not self._stop.is_set():
                 chunk = buf[: self.batch_size]
                 del buf[: self.batch_size]
+                positions = range(self._pos, self._pos + self.batch_size)
+                self._pos += self.batch_size
                 try:
-                    samples = list(self.pool.map(self.dataset.__getitem__, chunk))
+                    samples = list(self.pool.map(self._fetch, chunk, positions))
                     batch = collate(samples)
                 except Exception as e:  # surface worker errors to consumer
                     batch = e

@@ -78,26 +78,32 @@ class otf:
         self.rng = np.random.default_rng(opt.get("seed", None))
 
     def _stage_kernel(
-        self, size: int, sinc_prob: float, klist, kprob, sigma, betag, betap
+        self, rng: np.random.Generator, size: int, sinc_prob: float,
+        klist, kprob, sigma, betag, betap,
     ) -> np.ndarray:
-        kernel_size = int(self.rng.choice(self.kernel_range))
-        if self.rng.uniform() < sinc_prob:
+        kernel_size = int(rng.choice(self.kernel_range))
+        if rng.uniform() < sinc_prob:
             omega_c = (
-                self.rng.uniform(np.pi / 3, np.pi)
+                rng.uniform(np.pi / 3, np.pi)
                 if kernel_size < 13
-                else self.rng.uniform(np.pi / 5, np.pi)
+                else rng.uniform(np.pi / 5, np.pi)
             )
             kernel = circular_lowpass_kernel(omega_c, kernel_size, pad_to=0)
         else:
             kernel = random_mixed_kernels(
                 klist, kprob, kernel_size,
                 sigma, sigma, (-np.pi, np.pi), betag, betap,
-                rng=self.rng,
+                rng=rng,
             )
         pad = (21 - kernel_size) // 2
         return np.pad(kernel, ((pad, pad), (pad, pad))).astype(np.float32)
 
     def __getitem__(self, index: int) -> dict[str, Any]:
+        return self.fetch(index, self.rng)
+
+    def fetch(self, index: int, rng: np.random.Generator) -> dict[str, Any]:
+        """Loader entry point with injected per-position RNG (reproducible,
+        device-count-invariant batches; see TrainLoader._fetch)."""
         if self.file_client is None:
             io_opt = dict(self.io_backend_opt)
             self.file_client = FileClient(io_opt.pop("type", "disk"), **io_opt)
@@ -116,7 +122,7 @@ class otf:
                 retry -= 1
                 if retry <= 0:
                     # random substitute (reference otf_dataset.py:136-154)
-                    gt_path = self.paths[int(self.rng.integers(0, len(self.paths)))]
+                    gt_path = self.paths[int(rng.integers(0, len(self.paths)))]
                     img_bytes = self.file_client.get(gt_path, "gt")
                     img_gt = imfrombytes(img_bytes, float32=False)[..., ::-1]
                     break
@@ -124,7 +130,7 @@ class otf:
 
         img_gt = basic_augment(
             img_gt, self.opt.get("use_hflip", True), self.opt.get("use_rot", True),
-            self.rng,
+            rng,
         )
 
         # crop or pad to the fixed canvas (reference otf_dataset.py:165-187)
@@ -136,22 +142,22 @@ class otf:
             img_gt = np.pad(img_gt, ((0, pad_h), (0, pad_w), (0, 0)), mode="reflect")
         h, w = img_gt.shape[:2]
         if h > gs or w > gs:
-            top = int(self.rng.integers(0, h - gs + 1))
-            left = int(self.rng.integers(0, w - gs + 1))
+            top = int(rng.integers(0, h - gs + 1))
+            left = int(rng.integers(0, w - gs + 1))
             img_gt = img_gt[top : top + gs, left : left + gs, ...]
 
         kernel1 = self._stage_kernel(
-            self.blur_kernel_size, self.sinc_prob, self.kernel_list,
+            rng, self.blur_kernel_size, self.sinc_prob, self.kernel_list,
             self.kernel_prob, self.blur_sigma, self.betag_range, self.betap_range,
         )
         kernel2 = self._stage_kernel(
-            self.blur_kernel_size2, self.sinc_prob2, self.kernel_list2,
+            rng, self.blur_kernel_size2, self.sinc_prob2, self.kernel_list2,
             self.kernel_prob2, self.blur_sigma2, self.betag_range2, self.betap_range2,
         )
 
-        if self.rng.uniform() < self.final_sinc_prob:
-            kernel_size = int(self.rng.choice(self.kernel_range))
-            omega_c = self.rng.uniform(np.pi / 3, np.pi)
+        if rng.uniform() < self.final_sinc_prob:
+            kernel_size = int(rng.choice(self.kernel_range))
+            omega_c = rng.uniform(np.pi / 3, np.pi)
             sinc_kernel = circular_lowpass_kernel(omega_c, kernel_size, pad_to=21)
         else:
             sinc_kernel = pulse_tensor(21)

@@ -46,14 +46,19 @@ class paired_packed:
         self.rng = np.random.default_rng(opt.get("seed", None))
 
     def __getitem__(self, index: int) -> dict[str, Any]:
+        return self.fetch(index, self.rng)
+
+    def fetch(self, index: int, rng: np.random.Generator) -> dict[str, Any]:
+        """Loader entry point with injected per-position RNG (reproducible,
+        device-count-invariant batches; see TrainLoader._fetch)."""
         scale = self.opt["scale"]
         i = index % len(self.gt_pack)
 
         if self.opt.get("phase") == "train":
             patch = self.opt["patch_size"]
             h, w, _ = self.lq_pack.shape(i)
-            top = int(self.rng.integers(0, max(h - patch, 0) + 1))
-            left = int(self.rng.integers(0, max(w - patch, 0) + 1))
+            top = int(rng.integers(0, max(h - patch, 0) + 1))
+            left = int(rng.integers(0, max(w - patch, 0) + 1))
             img_lq = _to_array(self.lq_pack.read_crop(i, top, left, patch, patch))
             img_gt = _to_array(
                 self.gt_pack.read_crop(
@@ -68,7 +73,7 @@ class paired_packed:
                 [img_gt, img_lq],
                 self.opt.get("use_hflip", True),
                 self.opt.get("use_rot", True),
-                self.rng,
+                rng,
             )
         else:
             img_lq = _to_array(self.lq_pack.read(i)).astype(np.float32) / 255.0

@@ -89,6 +89,12 @@ class paired:
         raise RuntimeError("unreachable")
 
     def __getitem__(self, index: int) -> dict[str, Any]:
+        return self.fetch(index, self.rng)
+
+    def fetch(self, index: int, rng: np.random.Generator) -> dict[str, Any]:
+        """Loader entry point: sample randomness comes from the injected
+        per-stream-position `rng` (see TrainLoader._fetch), keeping batches
+        reproducible and device-count invariant."""
         if self.file_client is None:
             io_opt = dict(self.io_backend_opt)
             self.file_client = FileClient(io_opt.pop("type", "disk"), **io_opt)
@@ -100,12 +106,12 @@ class paired:
 
         if self.opt["phase"] == "train":
             patch_size = self.opt["patch_size"]
-            img_gt, img_lq = paired_random_crop(img_gt, img_lq, patch_size, scale, self.rng)
+            img_gt, img_lq = paired_random_crop(img_gt, img_lq, patch_size, scale, rng)
             img_gt, img_lq = basic_augment(
                 [img_gt, img_lq],
                 self.opt.get("use_hflip", True),
                 self.opt.get("use_rot", True),
-                self.rng,
+                rng,
             )
         else:
             # crop GT to match LQ*scale (mod-crop convention)
