@@ -130,9 +130,28 @@ def _bilinear_up2(x: jnp.ndarray) -> jnp.ndarray:
     - elementwise (NEOSR_D_RESIZE=elementwise): out[2i] = .25 x[i-1] +
       .75 x[i], out[2i+1] = .75 x[i] + .25 x[i+1] via shifts+interleave;
       kept as an A/B lever for other topologies/generations.
+    - einsum (NEOSR_D_RESIZE=einsum): separable interpolation MATRICES
+      (2H,H)/(2W,W) contracted on the MXU — upsampling as two small
+      matmuls instead of a vector-unit gather.  The matrices are trace-time
+      numpy constants (2 nonzeros/row), so XLA sees plain dots it can fuse.
     """
     import os
-    if os.environ.get("NEOSR_D_RESIZE", "gather") != "elementwise":
+    mode = os.environ.get("NEOSR_D_RESIZE", "gather")
+    if mode == "einsum":
+        def up_mat(n: int) -> jnp.ndarray:
+            import numpy as _np
+
+            m = _np.zeros((2 * n, n), _np.float32)
+            for i in range(n):
+                m[2 * i, max(i - 1, 0)] += 0.25
+                m[2 * i, i] += 0.75
+                m[2 * i + 1, i] += 0.75
+                m[2 * i + 1, min(i + 1, n - 1)] += 0.25
+            return jnp.asarray(m, x.dtype)
+
+        y = jnp.einsum("Oh,bhwc->bOwc", up_mat(x.shape[1]), x)
+        return jnp.einsum("Ow,bhwc->bhOc", up_mat(x.shape[2]), y)
+    if mode != "elementwise":
         return jax.image.resize(
             x, (x.shape[0], x.shape[1] * 2, x.shape[2] * 2, x.shape[3]),
             method="bilinear")

@@ -17,6 +17,7 @@ XLA inserts the gradient all-reduce over ICI.
 from __future__ import annotations
 
 import functools
+import os
 from pathlib import Path
 from typing import Any
 
@@ -449,6 +450,18 @@ class image(base):
         # additionally REQUIRES separate forwards (per-call batch stats).
         batch_d = bool(self.opt.get("train", {}).get("batch_d_apply", False))
         batch_d = batch_d and self.opt.get("network_d", {}).get("type") != "ea2fpn"
+        # sn_update_once: run the spectral-norm power iteration only in the
+        # D-step's REAL apply and keep the stored u/v for the fake apply.
+        # The fake forward then has IDENTICAL HLO to the G-step's fake
+        # forward (same input, same params, same sigma), so XLA CSE folds
+        # the two into one D forward — one of three per step disappears.
+        # Estimator cadence drops 2 -> 1 power iterations/step (torch runs
+        # 3; the per-step estimate converges regardless).  SN-only
+        # discriminators only: BN nets (ea2fpn) need per-apply stat updates.
+        sn_once = bool(self.opt.get("train", {}).get("sn_update_once", False))
+        if os.environ.get("NEOSR_SN_UPDATE") == "once":
+            sn_once = True
+        sn_once = sn_once and self.opt.get("network_d", {}).get("type") != "ea2fpn"
 
         def d_loss_fn(params_d, out, gt, step, bstats_d):
             out = jax.lax.stop_gradient(out)
@@ -474,6 +487,13 @@ class image(base):
                     update_stats=True,
                 )
                 real_pred, fake_pred = jnp.split(pred, 2, axis=0)
+            elif sn_once:
+                # single power iteration per step (real apply); fake apply
+                # reuses the stored u/v so it CSEs with the G-step forward
+                real_pred, new_bs_d = apply_d(
+                    params_d, bstats_d, real_in, update_stats=True
+                )
+                fake_pred, _ = apply_d(params_d, bstats_d, fake_in)
             else:
                 # BN discriminator: two sequential torch-style forwards
                 # (real first, then fake with real-updated running stats)

@@ -147,7 +147,11 @@ def get_root_logger(
     else:
         logger.setLevel(log_level)
         if log_file is not None:
-            file_handler = logging.FileHandler(log_file, "w")
+            # append: a resumed run must not clobber the original run's
+            # record (the reference keeps history by writing a new
+            # timestamped file per run, train.py:40; one appended file
+            # keeps the whole trajectory greppable in a single place)
+            file_handler = logging.FileHandler(log_file, "a")
             file_handler.setFormatter(
                 logging.Formatter("%(asctime)s %(levelname)s: %(message)s")
             )

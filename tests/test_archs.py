@@ -123,3 +123,25 @@ def test_window_attention_bf16_logits_lever(monkeypatch):
     alt = np.asarray(window_attention(q, k, v))
     monkeypatch.delenv("NEOSR_ATTN_LOGITS")
     assert np.max(np.abs(alt - base)) < 0.05, np.max(np.abs(alt - base))
+
+
+def test_bilinear_up2_formulations_match(monkeypatch):
+    """All three _bilinear_up2 variants (gather / elementwise shifts /
+    MXU einsum) compute identical half-pixel bilinear 2x upsampling."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neosr_tpu.archs import discriminators as D
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 7, 5, 3)).astype(np.float32))
+
+    outs = {}
+    for mode in ("gather", "elementwise", "einsum"):
+        monkeypatch.setenv("NEOSR_D_RESIZE", mode)
+        outs[mode] = np.asarray(D._bilinear_up2(x))
+        assert outs[mode].shape == (2, 14, 10, 3)
+    np.testing.assert_allclose(outs["elementwise"], outs["gather"],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(outs["einsum"], outs["gather"],
+                               rtol=1e-6, atol=1e-6)

@@ -41,6 +41,60 @@ def test_gan_train_step(tiny_paired_dataset, tmp_path):
         assert np.isfinite(logs[key])
 
 
+def test_gan_train_step_sn_update_once(tiny_paired_dataset, tmp_path):
+    """sn_update_once runs the SN power iteration only in the D-step's real
+    apply; the fake apply reuses stored u/v (making its forward HLO-identical
+    to the G-step's, which XLA CSEs away).  Losses must stay finite and the
+    first step — where stored u/v equal the init for both modes' G-step —
+    must produce the same l_g_* values as the default cadence."""
+    from tests.test_smoke_train import make_opt
+
+    from neosr_tpu.data import EnlargedSampler, build_dataloader, build_dataset
+    from neosr_tpu.models import build_model
+
+    logs_by_mode = {}
+    for sn_once in (False, True):
+        opt = make_opt(
+            tiny_paired_dataset, tmp_path,
+            extra_train={
+                "gan_opt": {"type": "gan_loss", "gan_type": "bce",
+                            "loss_weight": 0.3},
+                "optim_d": {"type": "adamw", "lr": 5e-4},
+                "sn_update_once": sn_once,
+            },
+        )
+        opt["name"] = f"gan_sn_once_{sn_once}"
+        opt["network_d"] = {"type": "unet", "num_feat": 16}
+
+        model = build_model(opt)
+        train_set = build_dataset(opt["datasets"]["train"])
+        sampler = EnlargedSampler(len(train_set), 1, 0, 1, 7)
+        loader = build_dataloader(
+            train_set, opt["datasets"]["train"], num_devices=1,
+            sampler=sampler, seed=7,
+        )
+        it = iter(loader)
+        step_logs = []
+        for i in range(3):
+            model.feed_data(next(it))
+            model.optimize_parameters(i + 1)
+            step_logs.append(model.get_current_log())
+        loader.close()
+        logs_by_mode[sn_once] = step_logs
+
+    for step_logs in logs_by_mode.values():
+        for logs in step_logs:
+            for key in ("l_g_gan", "l_d_real", "l_d_fake"):
+                assert np.isfinite(logs[key])
+    # step 1: stored u/v identical across modes -> identical G losses and
+    # identical l_d_real (the real apply is unchanged)
+    for key in ("l_g_gan", "l_g_total", "l_d_real"):
+        np.testing.assert_allclose(
+            logs_by_mode[True][0][key], logs_by_mode[False][0][key],
+            rtol=1e-5, atol=1e-6, err_msg=key,
+        )
+
+
 def test_gan_requires_discriminator(tiny_paired_dataset, tmp_path):
     import pytest
 
