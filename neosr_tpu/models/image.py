@@ -264,6 +264,22 @@ class image(base):
             raise ValueError(msg)
         self.grad_clip = train_opt.get("grad_clip", False)
 
+        # NEOSR_PARAM_STORAGE=bf16: perf PROBE only — hold params (and
+        # therefore optimizer state + EMA, which init from them) in bf16
+        # storage to measure the weight-traffic ceiling of the train step.
+        # flax modules already CAST params to the bf16 compute dtype inside
+        # every apply under use_amp, so this probe isolates the storage /
+        # optimizer / EMA HBM traffic alone.  Quality-unsafe (optimizer
+        # moments lose mantissa) — bench probe, never a production config.
+        if os.environ.get("NEOSR_PARAM_STORAGE") == "bf16":
+            def _cast_bf16(tree):
+                return jax.tree.map(
+                    lambda p: p.astype(jnp.bfloat16)
+                    if p.dtype == jnp.float32 else p, tree)
+            self.params_g = _cast_bf16(self.params_g)
+            if self.params_d is not None:
+                self.params_d = _cast_bf16(self.params_d)
+
         self.optim_g, self.lr_g = self._make_optim(
             train_opt["optim_g"], train_opt.get("scheduler"), total_iter, warmup
         )

@@ -95,6 +95,50 @@ def test_gan_train_step_sn_update_once(tiny_paired_dataset, tmp_path):
         )
 
 
+def test_param_storage_bf16_probe(tiny_paired_dataset, tmp_path, monkeypatch):
+    """NEOSR_PARAM_STORAGE=bf16 is a bench-only probe: params (and hence
+    optimizer state + EMA) live in bf16 storage.  The step must run with
+    finite losses and the stored params must actually be bf16."""
+    import jax.numpy as jnp
+
+    from tests.test_smoke_train import make_opt
+
+    from neosr_tpu.data import EnlargedSampler, build_dataloader, build_dataset
+    from neosr_tpu.models import build_model
+
+    monkeypatch.setenv("NEOSR_PARAM_STORAGE", "bf16")
+    opt = make_opt(
+        tiny_paired_dataset, tmp_path,
+        extra_train={
+            "gan_opt": {"type": "gan_loss", "gan_type": "bce", "loss_weight": 0.3},
+            "optim_d": {"type": "adamw", "lr": 5e-4},
+        },
+    )
+    opt["name"] = "gan_param_bf16_probe"
+    opt["network_d"] = {"type": "unet", "num_feat": 16}
+    opt["use_amp"] = True
+
+    model = build_model(opt)
+    import jax
+
+    leaves = jax.tree.leaves(model.state.params_g)
+    assert all(p.dtype == jnp.bfloat16 for p in leaves if p.dtype != jnp.int32)
+
+    train_set = build_dataset(opt["datasets"]["train"])
+    sampler = EnlargedSampler(len(train_set), 1, 0, 1, 7)
+    loader = build_dataloader(
+        train_set, opt["datasets"]["train"], num_devices=1, sampler=sampler, seed=7
+    )
+    it = iter(loader)
+    for i in range(2):
+        model.feed_data(next(it))
+        model.optimize_parameters(i + 1)
+    logs = model.get_current_log()
+    loader.close()
+    for key in ("l_g_pixel", "l_g_gan", "l_d_real", "l_d_fake"):
+        assert np.isfinite(logs[key]), key
+
+
 def test_gan_requires_discriminator(tiny_paired_dataset, tmp_path):
     import pytest
 
