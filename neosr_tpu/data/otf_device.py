@@ -25,12 +25,18 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from neosr_tpu.ops.diffjpeg import diff_jpeg
 from neosr_tpu.ops.filter import filter2d
 from neosr_tpu.ops.resize import canvas_resize_matrix, apply_matrices
 
-_GRAY_W = jnp.asarray([0.299, 0.587, 0.114])
+# host constant on purpose: a module-level jnp array would live on the
+# device (created eagerly at import) and every FRESH trace that closes
+# over it must d2h-copy it to bake the IR constant — an avoidable round
+# trip over the axon tunnel (and the site of a transient
+# FAILED_PRECONDITION during the round-4 bench retrace).
+_GRAY_W = np.asarray([0.299, 0.587, 0.114], np.float32)
 
 
 def _sample_resize_scale(key, probs, srange):

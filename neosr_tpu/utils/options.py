@@ -179,6 +179,12 @@ def opt_from_dict(
     if opt.get("attn_logits") in ("bf16", "f32"):
         os.environ["NEOSR_ATTN_LOGITS"] = opt["attn_logits"]
 
+    # Global `d_resize` picks the unet discriminator's 2x-upsample
+    # formulation (gather | elementwise | einsum — all parity-tested,
+    # tests/test_archs.py); same env bridge, read at trace time.
+    if opt.get("d_resize") in ("gather", "elementwise", "einsum"):
+        os.environ["NEOSR_D_RESIZE"] = opt["d_resize"]
+
     if debug and not opt["name"].startswith("debug"):
         opt["name"] = "debug_" + opt["name"]
 

@@ -67,7 +67,7 @@ def test_train_step_decreases_loss(tiny_paired_dataset, tmp_path):
 
     losses = []
     it = iter(loader)
-    for i in range(16):
+    for i in range(80):
         batch = next(it)
         assert batch["lq"].shape == (2, 8, 8, 3)
         assert batch["gt"].shape == (2, 32, 32, 3)
@@ -76,10 +76,13 @@ def test_train_step_decreases_loss(tiny_paired_dataset, tmp_path):
         losses.append(model.get_current_log()["l_g_total"])
     loader.close()
     assert np.isfinite(losses).all()
-    # compare window means, not endpoints: per-batch crops are random so
-    # single-step losses are noisy even while the trend is down
-    first, last = np.mean(losses[:4]), np.mean(losses[-4:])
-    assert last < first, f"loss did not decrease: {losses}"
+    # compare window means, not endpoints: the GT here is uniform noise, so
+    # the learnable margin over the net's skip-connection init is small and
+    # per-batch crop sequences can tie over short horizons (a 16-step window
+    # flaked when the deterministic per-position loader RNG landed on an
+    # unlucky crop order) — 80 steps separates signal from crop noise
+    first, last = np.mean(losses[:8]), np.mean(losses[-8:])
+    assert last < first - 3e-3, f"loss did not decrease: {losses}"
 
 
 def test_validation_and_metrics(tiny_paired_dataset, tmp_path):
