@@ -486,33 +486,29 @@ def bench_infer(
     detail: dict = {"n_chips": n_chips, "lq_size": lq_size, "tile": tile,
                     "scale": scale}
 
-    if tile == -1:
-        # device-pipeline fps: input staged once, output kept on device
-        # (block_until_ready).  This is what the chip does per image; the
-        # separate e2e loop below adds the per-image H2D/D2H, which over
-        # the axon tunnel is dominated by the ~(4*s^2*lq^2*12)B fetch —
-        # on a local TPU host e2e ~= device.
-        staged = jnp.asarray(img)
-        jax.block_until_ready(staged)
+    # device-pipeline fps: input staged once, output kept on device
+    # (block_until_ready).  This is what the chip does per image; the
+    # separate e2e loop below adds the per-image H2D/D2H, which over the
+    # axon tunnel is dominated by the ~12B/out-px fetch — on a local TPU
+    # host e2e ~= device.  tile > 0 resolves through val.tile_mode: the
+    # in-graph scan path keeps tiles on device (true device time), the
+    # host-chunked fallback includes its own chunk transfers.
+    staged = jnp.asarray(img)
+    jax.block_until_ready(staged)
+    model.lq = staged
+    model.test()
+    jax.block_until_ready(model.output)
+    t0 = time.perf_counter()
+    for _ in range(iters):
         model.lq = staged
         model.test()
         jax.block_until_ready(model.output)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            model.lq = staged
-            model.test()
-            jax.block_until_ready(model.output)
-        dt = time.perf_counter() - t0
-        value = round(iters / dt, 2)
-        detail.update({"iters": iters, "wall_s": round(dt, 3),
-                       "ms_per_image": round(dt / iters * 1e3, 2),
-                       "out_Mpx_per_s": round(mpx_out * iters / dt, 1)})
-        e2e_iters = max(3, iters // 4)
-    else:
-        # the tiled path chunks tiles through the compiled forward with
-        # host-side gather/scatter between chunks, so it is e2e by design
-        value = None
-        e2e_iters = iters
+    dt = time.perf_counter() - t0
+    value = round(iters / dt, 2)
+    detail.update({"iters": iters, "wall_s": round(dt, 3),
+                   "ms_per_image": round(dt / iters * 1e3, 2),
+                   "out_Mpx_per_s": round(mpx_out * iters / dt, 1)})
+    e2e_iters = max(3, iters // 4)
 
     t0 = time.perf_counter()
     for _ in range(e2e_iters):
@@ -526,10 +522,6 @@ def bench_infer(
         "e2e_note": f"includes per-image transfers ({fetch_mb:.1f} MB fetch)"
                     " — tunnel-bandwidth-bound in this environment",
     })
-    if value is None:
-        value = detail["e2e_fps"]
-        detail["out_Mpx_per_s"] = round(mpx_out * e2e_iters / dt_e2e, 1)
-
     name = f"{arch_type}_infer_fps_{lq_size}" + (f"_tile{tile}" if tile > 0 else "")
     return {
         "metric": name,

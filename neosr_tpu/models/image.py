@@ -143,6 +143,50 @@ class image(base):
 
         self._apply_fn = jax.jit(_eval_apply, static_argnums=(2, 3))
 
+        # in-graph tiled inference (see _tiled_forward_graph): the whole
+        # tile grid runs as ONE jitted scan — a single dispatch per image
+        # instead of a host gather/scatter round-trip per tile chunk.
+        def _tiled_apply(variables, x, tile, overlap, scale):
+            if jnp.issubdtype(x.dtype, jnp.integer):
+                x = x.astype(jnp.float32) / 255.0
+            n, h, w, c = x.shape
+            step = tile - 2 * overlap
+            gh = -(-h // step)
+            gw = -(-w // step)
+            # edge-replicate halo (traced in-graph — no eager device op over
+            # the tunnel).  Interior tiles reproduce the whole-image forward
+            # EXACTLY (overlap >= receptive-field radius); at the image
+            # border any tiling deviates within one receptive field of the
+            # edge — deep-net zero-input features are nonzero (bias + act),
+            # so no input-space halo can equal the whole forward's SAME
+            # feature padding there, and edge-replicate degrades gracefully.
+            x = jnp.pad(
+                x,
+                ((0, 0), (overlap, gh * step - h + overlap),
+                 (overlap, gw * step - w + overlap), (0, 0)),
+                mode="edge",
+            )
+            s = scale
+            canvas = jnp.zeros((n, gh * step * s, gw * step * s, c), jnp.float32)
+            idx = jnp.arange(gh * gw)
+            ys = (idx // gw) * step
+            xs = (idx % gw) * step
+            lo, hi = overlap * s, (overlap + step) * s
+
+            def body(canvas, yx):
+                y0, x0 = yx
+                t = jax.lax.dynamic_slice(x, (0, y0, x0, 0), (n, tile, tile, c))
+                sr = self.net_g.apply(variables, t).astype(jnp.float32)
+                canvas = jax.lax.dynamic_update_slice(
+                    canvas, sr[:, lo:hi, lo:hi, :], (0, y0 * s, x0 * s, 0)
+                )
+                return canvas, None
+
+            canvas, _ = jax.lax.scan(body, canvas, (ys, xs))
+            return canvas[:, : h * s, : w * s, :]
+
+        self._tiled_graph_fn = jax.jit(_tiled_apply, static_argnums=(2, 3, 4))
+
     # ------------------------------------------------------------ training
     def _init_training_settings(self, train_opt: dict[str, Any]) -> None:
         logger = get_root_logger()
@@ -705,12 +749,31 @@ class image(base):
     def test(self) -> None:
         """Run net_g on self.lq -> self.output (whole image or tiled)."""
         params = self._eval_variables()
-        tile = self.opt.get("val", {}).get("tile", -1) if self.opt.get("val") else -1
+        val_opt = self.opt.get("val") or {}
+        tile = val_opt.get("tile", -1)
         lq = self.lq
         if tile == -1:
             self.output = self._padded_forward(params, lq, self._pad_multiple())
+            return
+        # tiled: in-graph scan (one dispatch, tiles never leave the device)
+        # when the output canvas fits the HBM budget; the host-chunked path
+        # handles arbitrarily large outputs with bounded device memory.
+        mode = val_opt.get("tile_mode", "auto")
+        if mode not in ("auto", "graph", "host"):
+            msg = f"{tc.red}val.tile_mode must be auto|graph|host, got {mode!r}{tc.end}"
+            raise ValueError(msg)
+        overlap = int(val_opt.get("tile_overlap", 16))
+        if mode == "auto":
+            n, h, w, c = lq.shape
+            budget = float(val_opt.get("tile_graph_budget_mb", 2048)) * 1e6
+            canvas_bytes = n * (h * self.scale) * (w * self.scale) * c * 4 * 2.5
+            mode = "graph" if (
+                canvas_bytes <= budget and tile > 2 * overlap
+            ) else "host"
+        if mode == "graph":
+            self.output = self._tiled_forward_graph(params, lq, tile, overlap)
         else:
-            self.output = self._tiled_forward(params, lq, tile)
+            self.output = self._tiled_forward(params, lq, tile, overlap)
 
     def _padded_forward(self, params, lq, multiple: int = 64):
         """Pad H/W up to a bucket multiple (limits recompiles), then crop.
@@ -722,6 +785,23 @@ class image(base):
         out = self._apply_fn(params, lq, ph, pw)
         s = self.scale
         return out[:, : h * s, : w * s, :]
+
+    def _tiled_forward_graph(self, params, lq, tile: int, overlap: int = 16):
+        """TPU-native tiled inference: the tile grid runs as one jitted
+        `lax.scan` (dynamic_slice tile -> net_g -> dynamic_update_slice of
+        the seam-cropped center), so a tiled image costs ONE dispatch and
+        zero per-tile host traffic — vs the reference's per-tile loop
+        (image.py:684-784) and our host-chunked `_tiled_forward`.
+
+        The LQ gets an edge-replicate halo of `overlap` on every side: with
+        overlap >= the net's receptive-field radius the tiled output EQUALS
+        the whole-image forward everywhere except within one receptive
+        field of the image border, where every tiling scheme necessarily
+        deviates (parity-tested in tests/test_tiled_graph.py)."""
+        assert tile > 2 * overlap, (
+            "tile must exceed 2*overlap for the in-graph path"
+        )
+        return self._tiled_graph_fn(params, lq, tile, overlap, self.scale)
 
     def _tiled_forward(self, params, lq, tile: int, overlap: int = 16,
                        tile_batch: int = 8):
