@@ -665,4 +665,8 @@ if __name__ == "__main__":
             kw["network_extra"] = extra
         print(json.dumps(bench_transformer_train(arch, **kw)))
     else:
-        print(json.dumps(bench_compact_train()))
+        # fail LOUDLY: a silent fallback once recorded a compact-train line
+        # under an infer metric's name (round-4 chip session)
+        print(json.dumps({"metric": which, "value": None,
+                          "error": f"unknown bench metric {which!r}"}))
+        sys.exit(2)

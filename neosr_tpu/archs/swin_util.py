@@ -140,12 +140,18 @@ def window_attention(
     """
     d = q.shape[-1]
     scale = scale if scale is not None else d**-0.5
-    # NEOSR_ATTN_LOGITS=bf16: keep QK^T logits in bf16 and accumulate only
-    # the softmax normalizer in fp32, halving the dominant (B_, heads, N, N)
-    # intermediate's traffic.  Measured +7.9% on swinir_medium training
-    # (46.4 -> 50.0 p/s, BENCH_NOTES round 3); output diff vs fp32 logits
-    # ~1e-2 on random init, so the numerically-safe fp32 stays the default.
-    bf16_logits = os.environ.get("NEOSR_ATTN_LOGITS", "f32") == "bf16"
+    # bf16 QK^T logits with an fp32-accumulated softmax normalizer, halving
+    # the dominant (B_, heads, N, N) intermediate's traffic.  Measured
+    # +7.9% on swinir_medium training (46.4 -> 50.0 p/s, BENCH_NOTES round
+    # 3) and quality-validated on a training outcome: the swinir_small
+    # anchor A/B (identical seeds, 6k iters, BENCH_NOTES round 4) matches
+    # fp32 logits within +-0.07 dB at EVERY checkpoint.  Default is AUTO:
+    # bf16 logits whenever the block already computes in bf16 (use_amp
+    # training/eval — the exact condition the A/B validated), fp32 for
+    # fp32 nets (torch-parity and ONNX-export gates stay numerically
+    # exact).  NEOSR_ATTN_LOGITS / the `attn_logits` TOML key override.
+    mode = os.environ.get("NEOSR_ATTN_LOGITS", "auto")
+    bf16_logits = mode == "bf16" or (mode == "auto" and q.dtype == jnp.bfloat16)
 
     def _core(q_, k_, v_, bias_, mask_):
         pref = jnp.bfloat16 if bf16_logits else jnp.float32

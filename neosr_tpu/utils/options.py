@@ -176,7 +176,7 @@ def opt_from_dict(
     # training (BENCH_NOTES round 3).  Default fp32.  Exposed as an env
     # bridge because the attention helper is shared by every swin-family
     # arch and is read at trace time.
-    if opt.get("attn_logits") in ("bf16", "f32"):
+    if opt.get("attn_logits") in ("bf16", "f32", "auto"):
         os.environ["NEOSR_ATTN_LOGITS"] = opt["attn_logits"]
 
     # Global `d_resize` picks the unet discriminator's 2x-upsample

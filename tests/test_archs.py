@@ -108,9 +108,11 @@ def test_esrgan_dense_block_custom_vjp_grads():
 
 
 def test_window_attention_bf16_logits_lever(monkeypatch):
-    """The NEOSR_ATTN_LOGITS=bf16 lever (+7.9% measured on swinir_medium,
-    BENCH_NOTES round 3) must stay within bf16 tolerance of the default
-    fp32-logits path."""
+    """The bf16-logits path (+7.9% measured on swinir_medium, BENCH_NOTES
+    round 3; quality-validated by the round-4 swinir anchor A/B) must stay
+    within bf16 tolerance of the fp32-logits path.  Default is AUTO: f32
+    inputs (parity/export paths) keep f32 logits; bf16 inputs (use_amp
+    training — the validated condition) engage bf16 logits."""
     from neosr_tpu.archs.swin_util import window_attention
 
     rng = np.random.default_rng(7)
@@ -123,6 +125,20 @@ def test_window_attention_bf16_logits_lever(monkeypatch):
     alt = np.asarray(window_attention(q, k, v))
     monkeypatch.delenv("NEOSR_ATTN_LOGITS")
     assert np.max(np.abs(alt - base)) < 0.05, np.max(np.abs(alt - base))
+    # auto on f32 inputs == the f32 path exactly
+    auto = np.asarray(window_attention(q, k, v))
+    np.testing.assert_array_equal(auto, base)
+
+    # auto on bf16 inputs == the forced-bf16 path exactly (lever engaged)
+    qb, kb, vb = (t.astype(jnp.bfloat16) for t in (q, k, v))
+    auto_b = np.asarray(window_attention(qb, kb, vb).astype(jnp.float32))
+    monkeypatch.setenv("NEOSR_ATTN_LOGITS", "bf16")
+    forced_b = np.asarray(window_attention(qb, kb, vb).astype(jnp.float32))
+    monkeypatch.setenv("NEOSR_ATTN_LOGITS", "f32")
+    f32_b = np.asarray(window_attention(qb, kb, vb).astype(jnp.float32))
+    monkeypatch.delenv("NEOSR_ATTN_LOGITS")
+    np.testing.assert_array_equal(auto_b, forced_b)
+    assert np.max(np.abs(auto_b - f32_b)) < 0.05
 
 
 def test_bilinear_up2_formulations_match(monkeypatch):
