@@ -801,6 +801,15 @@ class image(base):
         assert tile > 2 * overlap, (
             "tile must exceed 2*overlap for the in-graph path"
         )
+        win = self.opt.get("network_g", {}).get("window_size")
+        wins = win if isinstance(win, (list, tuple)) else [win]
+        for w in wins:
+            if isinstance(w, int) and w > 0 and tile % w:
+                msg = (
+                    f"{tc.red}val.tile ({tile}) must be a multiple of the "
+                    f"network window_size ({win}) for tiled inference.{tc.end}"
+                )
+                raise ValueError(msg)
         return self._tiled_graph_fn(params, lq, tile, overlap, self.scale)
 
     def _tiled_forward(self, params, lq, tile: int, overlap: int = 16,

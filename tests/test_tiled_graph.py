@@ -137,3 +137,48 @@ def test_graph_tiled_uint8_input(tmp_path):
     np.testing.assert_allclose(
         tiled[:, m:-m, m:-m], whole[:, m:-m, m:-m], rtol=1e-5, atol=1e-5
     )
+
+
+def test_graph_tiled_window_arch(tmp_path):
+    """Window-attention arch through the scan-tiled path: tile must be a
+    window multiple (clear config error otherwise), and interior parity
+    with the whole-image forward holds like for conv nets."""
+    from neosr_tpu.models import build_model
+    from neosr_tpu.utils.options import opt_from_dict
+
+    opt = {
+        "name": "tiled_graph_swin",
+        "model_type": "image",
+        "scale": 4,
+        "num_gpu": 1,
+        "manual_seed": 3,
+        "is_train": False,
+        "datasets": {},
+        "network_g": {"type": "swinir", "embed_dim": 12, "depths": [1],
+                      "num_heads": [2], "window_size": 8,
+                      "upsampler": "pixelshuffledirect"},
+        "path": {},
+        "val": {"tile": 32, "tile_mode": "graph", "tile_overlap": 8},
+    }
+    opt = opt_from_dict(opt, root_path=str(tmp_path), is_train=False)
+    model = build_model(opt)
+    rng = np.random.default_rng(5)
+    img = rng.random((1, 64, 64, 3)).astype(np.float32)
+
+    model.opt["val"]["tile"] = -1
+    whole = _infer(model, img)
+    model.opt["val"]["tile"] = 32
+    tiled = _infer(model, img)
+    assert tiled.shape == whole.shape == (1, 256, 256, 3)
+    # window attention mixes within an 8px window: stay 2 windows + overlap
+    # clear of the border for the interior comparison.  Tolerance is fp
+    # reassociation between the two differently-fused XLA programs (softmax
+    # + prelu chains), observed max ~2.5e-4.
+    m = 24 * 4
+    np.testing.assert_allclose(
+        tiled[:, m:-m, m:-m], whole[:, m:-m, m:-m], rtol=1e-3, atol=5e-4
+    )
+
+    model.opt["val"]["tile"] = 30  # not a window multiple
+    with pytest.raises(ValueError, match="window_size"):
+        _infer(model, img)
