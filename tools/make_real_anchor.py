@@ -21,6 +21,16 @@ synthetic procedural tiles from tools/make_anchor_dataset.py as a
 regularizing mix.  The VAL side is unchanged — grace_hopper stays a
 held-out real photograph, so the metric still measures generalization
 to real-photo statistics.
+
+The --v3 mode addresses the round-4 finding that 229 tiles are still
+below the data scale window attention needs (four transformer runs —
+swinir from-scratch x2, swinir warm-start, omnisr — all plateau
+0.05-0.10 dB under the bicubic bar while convs clear it): it further
+widens the TRAIN side with the photographic surface textures bundled in
+dm_control / gymnasium_robotics (crumpled foil, leather, wood grain,
+four marbles, mosaic tile, concrete, grass — real photographs of real
+surfaces, visually screened; procedural/colorized game textures
+excluded), ~2.5x the v2 tile count.  VAL is still untouched.
 """
 
 from __future__ import annotations
@@ -33,11 +43,46 @@ import cv2
 import numpy as np
 
 
-def _sources(v2: bool = False) -> tuple[list[np.ndarray], list[np.ndarray]]:
+# Photographic surface textures bundled with installed simulation packages
+# (site-packages-relative).  Each was visually screened: these are real
+# photographs of real surfaces; procedural / flat-colorized game textures
+# (labmaze styles, soccer kit atlases, pitch stripes) are excluded.
+_TEXTURE_PATHS = [
+    "gymnasium_robotics/envs/assets/adroit_hand/resources/textures/foil.png",
+    "gymnasium_robotics/envs/assets/adroit_hand/resources/textures/silverRaw.png",
+    "gymnasium_robotics/envs/assets/adroit_hand/resources/textures/skin.png",
+    "gymnasium_robotics/envs/assets/adroit_hand/resources/textures/darkwood.png",
+    "gymnasium_robotics/envs/assets/adroit_hand/resources/textures/marble.png",
+    "gymnasium_robotics/envs/assets/kitchen_franka/kitchen_assets/textures/tile1.png",
+    "gymnasium_robotics/envs/assets/kitchen_franka/kitchen_assets/textures/white_marble_tile.png",
+    "gymnasium_robotics/envs/assets/kitchen_franka/kitchen_assets/textures/white_marble_tile2.png",
+    "gymnasium_robotics/envs/assets/kitchen_franka/kitchen_assets/textures/marble1.png",
+    "gymnasium_robotics/envs/assets/kitchen_franka/kitchen_assets/textures/metal1.png",
+    "gymnasium_robotics/envs/assets/kitchen_franka/kitchen_assets/textures/wood1.png",
+    "dm_control/locomotion/arenas/assets/outdoor_natural/OutdoorGrassFloorD.png",
+]
+
+
+def _texture_images() -> list[np.ndarray]:
+    import sysconfig
+
+    site = sysconfig.get_paths()["purelib"]
+    out = []
+    for rel in _TEXTURE_PATHS:
+        p = os.path.join(site, rel)
+        img = cv2.imread(p, cv2.IMREAD_COLOR) if os.path.exists(p) else None
+        if img is not None:
+            out.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+    return out
+
+
+def _sources(v2: bool = False, v3: bool = False) -> tuple[list[np.ndarray], list[np.ndarray]]:
     import matplotlib
     from sklearn.datasets import load_sample_images
 
     train = [img.astype(np.uint8) for img in load_sample_images().images]
+    if v3:
+        train += _texture_images()
     if v2:
         import pygame
 
@@ -73,14 +118,19 @@ def main() -> None:
     ap.add_argument("--v2", action="store_true",
                     help="widen the train set: extra real photos + the "
                          "synthetic anchor tiles (--synthetic-gt)")
+    ap.add_argument("--v3", action="store_true",
+                    help="further widen with the bundled photographic "
+                         "surface textures (implies --v2)")
     ap.add_argument("--synthetic-gt", default="/tmp/anchor/gt",
                     help="GT folder of tools/make_anchor_dataset.py output "
                          "to mix in under --v2")
     args = ap.parse_args()
+    if args.v3:
+        args.v2 = True
     for sub in ("gt", "lq", "val_gt", "val_lq"):
         os.makedirs(os.path.join(args.root, sub), exist_ok=True)
 
-    train_imgs, val_imgs = _sources(v2=args.v2)
+    train_imgs, val_imgs = _sources(v2=args.v2, v3=args.v3)
     n = 0
 
     def _emit(t: np.ndarray) -> None:
