@@ -24,6 +24,7 @@ from typing import Any
 import numpy as np
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 import optax
 from flax import struct
@@ -90,6 +91,7 @@ class image(base):
         train_opt = opt.get("train", {})
         self.ema_decay = train_opt.get("ema", -1) if self.is_train else -1
         self.accumulate = 1
+        self.flat_apply_g = self.flat_apply_d = False
         self.net_d = None
         self.cri_gan = None
 
@@ -324,19 +326,20 @@ class image(base):
             if self.params_d is not None:
                 self.params_d = _cast_bf16(self.params_d)
 
-        self.optim_g, self.lr_g = self._make_optim(
+        self.optim_g, self.lr_g, self.flat_apply_g = self._make_optim(
             train_opt["optim_g"], train_opt.get("scheduler"), total_iter, warmup
         )
         opt_g_state = self.optim_g.init(self.params_g)
         self.sf_g = is_schedule_free(opt_g_state)
 
         self.optim_d, self.lr_d = None, None
+        self.flat_apply_d = False
         opt_d_state = None
         if self.params_d is not None:
             if "optim_d" not in train_opt:
                 msg = f"{tc.red}[network_d] configured but [train.optim_d] missing.{tc.end}"
                 raise ValueError(msg)
-            self.optim_d, self.lr_d = self._make_optim(
+            self.optim_d, self.lr_d, self.flat_apply_d = self._make_optim(
                 train_opt["optim_d"], train_opt.get("scheduler"), total_iter, warmup
             )
             opt_d_state = self.optim_d.init(self.params_d)
@@ -366,7 +369,22 @@ class image(base):
         self._train_step = jax.jit(self._train_step_raw, donate_argnums=0)
 
     def _make_optim(self, optim_cfg, sched_cfg, total_iter, warmup):
-        optim, lr = build_optimizer(optim_cfg, sched_cfg, total_iter, warmup)
+        # flat-apply: run the optimizer update, the apply-updates add, the
+        # NaN-guard select and the EMA blend on ONE raveled (N,) vector per
+        # net instead of per-leaf tree_maps (~700 leaves x 3 elementwise
+        # kernels/step for RRDBNet-23).  Elementwise math is identical per
+        # element, so trajectories are bit-equal to the tree path (the only
+        # reassociation is clip_by_global_norm's sum order); optimizer
+        # checkpoint layout is unchanged (optax.flatten stores the same
+        # flat state).  NEOSR_FUSED_APPLY=0 is the measurement kill-switch.
+        flat = (
+            bool(optim_cfg.get("fused", True))
+            and self.accumulate == 1
+            and os.environ.get("NEOSR_FUSED_APPLY", "1") != "0"
+        )
+        optim, lr = build_optimizer(
+            optim_cfg, sched_cfg, total_iter, warmup, wrap_fused=not flat
+        )
         chain = []
         if self.grad_clip:
             chain.append(optax.clip_by_global_norm(1.0))
@@ -374,7 +392,19 @@ class image(base):
         optim = optax.chain(*chain) if len(chain) > 1 else optim
         if self.accumulate > 1:
             optim = optax.MultiSteps(optim, every_k_schedule=self.accumulate)
-        return optim, lr
+        if flat:
+            inner = optim
+
+            def _init(params):
+                leaves = jax.tree.leaves(params)
+                if len(leaves) == 1 and jnp.ndim(leaves[0]) == 1:
+                    return inner.init(leaves[0])
+                return inner.init(
+                    jnp.concatenate([jnp.ravel(p) for p in leaves])
+                )
+
+            optim = optax.GradientTransformation(_init, inner.update)
+        return optim, lr, flat
 
     def _make_train_step(self):
         from neosr_tpu.ops.resize import resize_antialias
@@ -383,6 +413,7 @@ class image(base):
         g_losses = dict(self.g_losses)
         cri_gan = self.cri_gan
         optim_g, optim_d = self.optim_g, self.optim_d
+        flat_apply_g, flat_apply_d = self.flat_apply_g, self.flat_apply_d
         ema_decay = self.ema_decay
         scale = self.scale
         eco = self.eco
@@ -634,9 +665,19 @@ class image(base):
                 )
 
             finite = jnp.isfinite(loss_g)
-            updates, opt_g = optim_g.update(grads, state.opt_g, state.params_g)
-            params_g = optax.apply_updates(state.params_g, updates)
-            params_g = _tree_where(finite, params_g, state.params_g)
+            flat_new_g = None
+            if flat_apply_g:
+                flat_p, unravel_g = jax.flatten_util.ravel_pytree(state.params_g)
+                flat_gr, _ = jax.flatten_util.ravel_pytree(grads)
+                updates_f, opt_g = optim_g.update(flat_gr, state.opt_g, flat_p)
+                flat_new_g = jnp.where(
+                    finite, flat_p + updates_f.astype(flat_p.dtype), flat_p
+                )
+                params_g = unravel_g(flat_new_g)
+            else:
+                updates, opt_g = optim_g.update(grads, state.opt_g, state.params_g)
+                params_g = optax.apply_updates(state.params_g, updates)
+                params_g = _tree_where(finite, params_g, state.params_g)
             opt_g = _tree_where(finite, opt_g, state.opt_g)
 
             params_d, opt_d = state.params_d, state.opt_d
@@ -647,19 +688,38 @@ class image(base):
                 )(state.params_d, out, gt, step, state.bstats_d)
                 losses.update(d_losses)
                 finite_d = jnp.isfinite(loss_d)
-                updates_d, opt_d = optim_d.update(grads_d, state.opt_d, state.params_d)
-                params_d = optax.apply_updates(state.params_d, updates_d)
-                params_d = _tree_where(finite_d, params_d, state.params_d)
+                if flat_apply_d:
+                    flat_pd, unravel_d = jax.flatten_util.ravel_pytree(
+                        state.params_d)
+                    flat_gd, _ = jax.flatten_util.ravel_pytree(grads_d)
+                    updates_fd, opt_d = optim_d.update(
+                        flat_gd, state.opt_d, flat_pd)
+                    params_d = unravel_d(jnp.where(
+                        finite_d, flat_pd + updates_fd.astype(flat_pd.dtype),
+                        flat_pd,
+                    ))
+                else:
+                    updates_d, opt_d = optim_d.update(
+                        grads_d, state.opt_d, state.params_d)
+                    params_d = optax.apply_updates(state.params_d, updates_d)
+                    params_d = _tree_where(finite_d, params_d, state.params_d)
                 opt_d = _tree_where(finite_d, opt_d, state.opt_d)
                 bstats_d = _tree_where(finite_d, bstats_d, state.bstats_d)
                 finite = finite & finite_d
 
             ema_g = state.ema_g
             if ema_decay > 0:
-                ema_g = jax.tree.map(
-                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
-                    state.ema_g, params_g,
-                )
+                if flat_new_g is not None:
+                    flat_e, unravel_e = jax.flatten_util.ravel_pytree(
+                        state.ema_g)
+                    ema_g = unravel_e(
+                        ema_decay * flat_e + (1.0 - ema_decay) * flat_new_g
+                    )
+                else:
+                    ema_g = jax.tree.map(
+                        lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                        state.ema_g, params_g,
+                    )
 
             new_state = state.replace(
                 step=state.step + 1,

@@ -67,6 +67,7 @@ def build_optimizer(
     scheduler_opt: dict[str, Any] | None = None,
     total_iter: int = 1_000_000,
     warmup_iter: int = -1,
+    wrap_fused: bool = True,
 ) -> tuple[optax.GradientTransformation, Any]:
     """Returns (optax transform, lr-schedule-or-constant)."""
     opt = dict(optim_opt)
@@ -80,10 +81,19 @@ def build_optimizer(
     # on RRDBNet-23's ~700 leaves; flattened, each update is a handful of
     # full-size kernels).  Optimizer state is stored flat — checkpoints
     # are layout-compatible only with the same `fused` setting.
+    #
+    # With ``wrap_fused=False`` the caller takes over the ravel/unravel
+    # (the flat-apply train-step path, models/image.py): the transform is
+    # returned UNwrapped and must be fed the flat 1-D vector directly.
+    # The optimizer state layout is identical either way (optax.flatten
+    # also just calls ``inner.init(concat-of-raveled-leaves)``), so
+    # checkpoints are interchangeable between the two call styles.
     fused = opt.pop("fused", True)
 
     def _wrap(transform):
-        return optax.flatten(transform) if fused else transform
+        if not fused or not wrap_fused:
+            return transform
+        return optax.flatten(transform)
 
     lower = optim_type.lower()
     # schedule-free optimizers run without an external scheduler
