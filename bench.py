@@ -543,33 +543,48 @@ def _run_all() -> None:
     Wall-budget aware (BENCH_BUDGET_S, default 1500 s): before each
     metric, if the remaining budget is below that metric's worst-observed
     compile+run cost, it is skipped WITH A NOTE instead of dying rc=124
-    mid-compile.  Order = cost-ascending after the headline, so cheap
-    metrics always land."""
+    mid-compile — EXCEPT the esrgan_otf_full north star, which under
+    budget pressure runs DEGRADED (1 window, fewer iters, noted in
+    detail) rather than skipping: the round-4 record lost the second
+    headline to cost-ascending ordering, so it now runs immediately after
+    compact and always lands."""
     import subprocess as _sp
     import sys as _sys
 
     headline = None
     extras = {}
-    # (cli name, worst-case compile+run seconds observed over the tunnel).
-    # Each metric runs in its OWN subprocess: the metrics leave params /
-    # optimizer states / pool buffers alive in HBM, and the fused OTF+GAN
-    # graph measured 37% slower when run last in a shared process (79.4 vs
-    # 125.9 p/s standalone — allocator fragmentation).  A fresh process per
-    # metric reproduces the standalone numbers; the persistent compile
-    # cache makes subprocess re-init cheap.
+    # (metric name, worst-case compile+run seconds observed over the
+    # tunnel, subprocess argv).  Each metric runs in its OWN subprocess:
+    # the metrics leave params / optimizer states / pool buffers alive in
+    # HBM, and the fused OTF+GAN graph measured 37% slower when run last
+    # in a shared process (79.4 vs 125.9 p/s standalone — allocator
+    # fragmentation).  A fresh process per metric reproduces the
+    # standalone numbers; the persistent compile cache makes subprocess
+    # re-init cheap.
     plan = [
-        ("compact", 120),
-        ("otf", 120),
-        ("infer_compact", 120),
-        ("infer_tiled", 240),
-        ("infer_esrgan", 240),
-        ("transformer", 420),
-        ("esrgan", 420),
-        ("infer_swinir", 300),
-        ("esrgan_otf_full", 700),
+        ("compact", 120, ["compact"]),
+        # the externally-anchored north star runs SECOND, never skipped
+        ("esrgan_otf_full", 700, ["esrgan_otf_full"]),
+        ("otf", 120, ["otf"]),
+        ("infer_compact", 120, ["infer_compact"]),
+        # transformer-family regression rows (best configs: hat_s b8,
+        # atd_light b16 — BENCH_NOTES round-2 batch-scaling study)
+        ("hat_s", 360, ["transformer", "hat_s"]),
+        ("atd_light", 360, ["transformer", "atd_light", "16"]),
+        ("infer_tiled", 240, ["infer_tiled"]),
+        ("infer_esrgan", 240, ["infer_esrgan"]),
+        ("transformer", 420, ["transformer"]),
+        ("esrgan", 420, ["esrgan"]),
+        ("infer_swinir", 300, ["infer_swinir"]),
     ]
-    for name, est in plan:
-        if name != "compact" and _remaining() < est:
+    for name, est, argv in plan:
+        if name == "esrgan_otf_full" and _remaining() < est:
+            # degrade, don't skip: 1 window x 6 iters still yields an
+            # honest hard-synced number (~96 patches measured per window)
+            argv = argv + ["windows=1", "iters=6"]
+            _sys.stderr.write(f"[bench] {name} DEGRADED (budget "
+                              f"{_remaining():.0f}s left)\n")
+        elif name != "compact" and _remaining() < est:
             r = {"metric": name, "value": None,
                  "unit": "skipped", "vs_baseline": None,
                  "detail": {"skipped": f"budget: {_remaining():.0f}s left "
@@ -579,7 +594,7 @@ def _run_all() -> None:
             continue
         try:
             out = _sp.run(
-                [_sys.executable, __file__, name],
+                [_sys.executable, __file__, *argv],
                 capture_output=True, text=True,
                 # cap per metric so one hung tunnel/device-init can't eat
                 # the whole budget (observed: jax.devices() hanging for
@@ -617,9 +632,16 @@ if __name__ == "__main__":
         print(json.dumps(bench_esrgan_otf_train()))
     elif which == "esrgan_otf_full":
         kw = {}
-        if len(sys.argv) > 2:  # optional batch override for A/B experiments
-            kw["batch"] = int(sys.argv[2])
-        print(json.dumps(bench_esrgan_otf_full(**kw)))
+        for tok in sys.argv[2:]:
+            if "=" in tok:  # windows=1 iters=6 ... (budget-degraded run)
+                k, v = tok.split("=", 1)
+                kw[k] = int(v)
+            else:  # optional batch override for A/B experiments
+                kw["batch"] = int(tok)
+        r = bench_esrgan_otf_full(**kw)
+        if kw.get("windows", 3) < 3 or kw.get("iters", 10) < 10:
+            r["detail"]["budget_degraded"] = True
+        print(json.dumps(r))
     elif which == "compact":
         print(json.dumps(bench_compact_train()))
     elif which == "infer_compact":
