@@ -65,6 +65,42 @@ def nearest_upsample(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     return jnp.repeat(jnp.repeat(x, scale, axis=1), scale, axis=2)
 
 
+# M[a][t, dr]: tap t (HR offset t-1) of a 3x3 kernel applied after a
+# nearest-x2 upsample lands on LR offset dr-1 for output-row phase a
+# (floor((2i + a + t - 1) / 2) - i).  Phase 0 folds taps {0,+1} onto LR
+# offset 0; phase 1 folds taps {-1,0} onto it.
+_PHASE_MAP = [
+    [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 1.0, 0.0]],
+    [[0.0, 1.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]],
+]
+
+
+def phase_upconv2x(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+                   dtype: Dtype) -> jnp.ndarray:
+    """conv3x3(nearest_upsample(x, 2)) computed as ONE conv at LR.
+
+    A 3x3 conv after a nearest-x2 upsample reads each LR pixel through at
+    most a 2x2 LR neighbourhood per output phase, so the HR conv is exactly
+    a 4-phase LR conv followed by depth-to-space: each phase kernel is a
+    linear fold of the 3x3 taps (``_PHASE_MAP``), embedded in a 3x3 kernel
+    with structural zeros so all four phases share one SAME-padded conv.
+    Same parameters, same math (zero-pad boundary included) — but Cout
+    grows 4x (64 -> 256 = full 128-lane MXU occupancy vs 50%), the conv
+    runs on the LR grid, and the nearest_upsample data-formatting op
+    disappears.  ESRGAN-tail lever for the esrgan_otf headline ("other
+    convs" slice, BENCH_NOTES round-4 table).
+    """
+    m = jnp.asarray(_PHASE_MAP, kernel.dtype)
+    k4 = jnp.einsum("atp,buq,tuio->pqioab", m, m, kernel)
+    k4 = k4.reshape(3, 3, kernel.shape[2], kernel.shape[3] * 4)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), k4.astype(dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    y = y + jnp.repeat(bias, 4).astype(y.dtype)
+    return pixel_shuffle(y, 2)
+
+
 # ---------------------------------------------------------------------------
 # activations
 # ---------------------------------------------------------------------------

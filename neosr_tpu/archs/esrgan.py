@@ -14,7 +14,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+import os
+
 from neosr_tpu.archs.arch_util import (
+    phase_upconv2x,
     Conv2d,
     conv_kaiming_init,
     lrelu,
@@ -252,7 +255,7 @@ class esrgan(nn.Module):
             feat = pixel_unshuffle(x, 4)
         else:
             feat = x
-        feat = Conv2d(self.num_feat, 3, dtype=self.dtype)(feat)
+        feat = Conv2d(self.num_feat, 3, dtype=self.dtype, name="Conv2d_0")(feat)
         body = feat
         # use_checkpoint remats each RRDB: backward recomputes the block
         # instead of streaming ~15 dense-concat activations per block from
@@ -267,11 +270,23 @@ class esrgan(nn.Module):
                 body = nn.remat(RRDB.__call__)(blk, body)
             else:
                 body = blk(body)
-        body = Conv2d(self.num_feat, 3, dtype=self.dtype)(body)
+        body = Conv2d(self.num_feat, 3, dtype=self.dtype, name="Conv2d_1")(body)
         feat = feat + body
-        feat = lrelu(Conv2d(self.num_feat, 3, dtype=self.dtype)(nearest_upsample(feat, 2)))
-        feat = lrelu(Conv2d(self.num_feat, 3, dtype=self.dtype)(nearest_upsample(feat, 2)))
-        out = Conv2d(self.num_out_ch, 3, dtype=self.dtype)(
-            lrelu(Conv2d(self.num_feat, 3, dtype=self.dtype)(feat))
+        # module names pinned to the historical auto-assignment (conv_last
+        # was constructed before conv_hr, so it owns Conv2d_4) — both
+        # upconv formulations below share the same checkpoint layout
+        if os.environ.get("NEOSR_UPCONV", "hr") == "phase":
+            for name in ("Conv2d_2", "Conv2d_3"):
+                k, b = _Conv2dParams(self.num_feat, self.num_feat,
+                                     name=name)()
+                feat = lrelu(phase_upconv2x(feat, k, b, self.dtype))
+        else:
+            feat = lrelu(Conv2d(self.num_feat, 3, dtype=self.dtype,
+                                name="Conv2d_2")(nearest_upsample(feat, 2)))
+            feat = lrelu(Conv2d(self.num_feat, 3, dtype=self.dtype,
+                                name="Conv2d_3")(nearest_upsample(feat, 2)))
+        out = Conv2d(self.num_out_ch, 3, dtype=self.dtype, name="Conv2d_4")(
+            lrelu(Conv2d(self.num_feat, 3, dtype=self.dtype,
+                         name="Conv2d_5")(feat))
         )
         return out

@@ -117,8 +117,17 @@ def window_attention(
     bias: jnp.ndarray | None = None,
     mask: jnp.ndarray | None = None,
     scale: float | None = None,
+    layout: str = "bhnd",
 ) -> jnp.ndarray:
     """Batched window MHSA core.
+
+    layout="bhnd" (default): q,k,v and the result are (B_, heads, N, d).
+    layout="bnhd": q,k,v and the result are (B_, N, heads, d) — the
+    layout a packed qkv Dense output already has after a reshape, so the
+    caller needs NO 5-D transpose; the head dimension moves into the
+    einsum batch spec instead ("bnhd,bmhd->bhnm"), letting XLA fold the
+    layout into the dot dimension numbers rather than materializing a
+    transposed copy.  Same math, same (B_, heads, N, N) logits either way.
 
     q,k,v: (B_, heads, N, d); bias: (heads, N, N); mask: (nW, N, N) applied
     cyclically over the window dim.  Returns (B_, heads, N, d).
@@ -153,9 +162,13 @@ def window_attention(
     mode = os.environ.get("NEOSR_ATTN_LOGITS", "auto")
     bf16_logits = mode == "bf16" or (mode == "auto" and q.dtype == jnp.bfloat16)
 
+    qk_spec, pv_spec = (("bnhd,bmhd->bhnm", "bhnm,bmhd->bnhd")
+                        if layout == "bnhd"
+                        else ("bhnd,bhmd->bhnm", "bhnm,bhmd->bhnd"))
+
     def _core(q_, k_, v_, bias_, mask_):
         pref = jnp.bfloat16 if bf16_logits else jnp.float32
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q_ * scale, k_,
+        attn = jnp.einsum(qk_spec, q_ * scale, k_,
                           preferred_element_type=pref)
         if bias_ is not None:
             attn = attn + bias_[None].astype(pref)
@@ -174,7 +187,7 @@ def window_attention(
         else:
             attn = jax.nn.softmax(attn, axis=-1)
         attn = attn.astype(v_.dtype)
-        return jnp.einsum("bhnm,bhmd->bhnd", attn, v_)
+        return jnp.einsum(pv_spec, attn, v_)
 
     # remat the (B_, heads, N, N) fp32 logits: they are the dominant
     # activation of every swin-family train step (50 MB/block for
@@ -213,12 +226,23 @@ class WindowAttention(nn.Module):
 
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                        param_dtype=jnp.float32, kernel_init=trunc_normal_init())(x)
-        qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim)
-        qkv = qkv.transpose(2, 0, 3, 1, 4)  # 3, B_, heads, n, d
-        q, k, v = qkv[0], qkv[1], qkv[2]
-
-        out = window_attention(q, k, v, bias=bias, mask=mask, scale=self.qk_scale)
-        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        if os.environ.get("NEOSR_QKV_LAYOUT", "bhnd") == "bnhd":
+            # transpose-free: the packed Dense output is [q|k|v] along the
+            # feature dim (the reference's qkv chunking), so a split +
+            # head reshape is layout-preserving and the head dim rides the
+            # einsum batch spec instead of a materialized 5-D transpose.
+            q, k, v = (a.reshape(b_, n, self.num_heads, head_dim)
+                       for a in jnp.split(qkv, 3, axis=-1))
+            out = window_attention(q, k, v, bias=bias, mask=mask,
+                                   scale=self.qk_scale, layout="bnhd")
+            out = out.reshape(b_, n, c)
+        else:
+            qkv = qkv.reshape(b_, n, 3, self.num_heads, head_dim)
+            qkv = qkv.transpose(2, 0, 3, 1, 4)  # 3, B_, heads, n, d
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            out = window_attention(q, k, v, bias=bias, mask=mask,
+                                   scale=self.qk_scale)
+            out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                         kernel_init=trunc_normal_init())(out)
 

@@ -161,3 +161,27 @@ def test_bilinear_up2_formulations_match(monkeypatch):
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(outs["einsum"], outs["gather"],
                                rtol=1e-6, atol=1e-6)
+
+
+def test_esrgan_phase_upconv_parity(monkeypatch):
+    """NEOSR_UPCONV=phase computes the tail conv3x3(nearest_upsample(x,2))
+    as ONE LR conv with 4 phase kernels + pixel_shuffle (arch_util.
+    phase_upconv2x) — same params (checkpoint layout pinned), same math
+    including the zero-pad boundary, on odd widths too."""
+    import os
+
+    import jax
+
+    from neosr_tpu.archs import build_network
+
+    x = jnp.asarray(np.random.default_rng(5).random((2, 12, 10, 3)), jnp.float32)
+    net = build_network({"type": "esrgan", "num_block": 2}, scale=4)
+    monkeypatch.delenv("NEOSR_UPCONV", raising=False)
+    p = net.init(jax.random.key(0), x)
+    y0 = net.apply(p, x)
+    monkeypatch.setenv("NEOSR_UPCONV", "phase")
+    p2 = net.init(jax.random.key(0), x)
+    assert jax.tree.map(lambda a: a.shape, p) == jax.tree.map(lambda a: a.shape, p2)
+    y1 = net.apply(p, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-5, atol=1e-5)

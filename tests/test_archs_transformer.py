@@ -87,3 +87,27 @@ def test_use_checkpoint_param_compatible():
     ya = jax.jit(lambda p, x: a.apply({"params": p}, x))(p, x)
     yb = jax.jit(lambda p, x: b.apply({"params": p}, x))(p, x)  # same params load
     np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=1e-6)
+
+
+def test_qkv_layout_bnhd_parity(monkeypatch):
+    """NEOSR_QKV_LAYOUT=bnhd (transpose-free einsum layout: head dim in the
+    dot's batch spec instead of a materialized 5-D transpose) is the SAME
+    math as the default bhnd path — full-net forward must match to float
+    reassociation noise (same contraction dims; XLA may tile the dots
+    differently for the two layouts)."""
+    import jax
+
+    from neosr_tpu.archs import build_network
+
+    x = jnp.asarray(np.random.default_rng(3).random((1, 16, 16, 3), np.float32))
+    net = build_network({"type": "swinir_small"}, scale=4)
+    p = jax.jit(net.init)(jax.random.key(1), x)["params"]
+    fwd = jax.jit(lambda p, x: net.apply({"params": p}, x))
+
+    monkeypatch.delenv("NEOSR_QKV_LAYOUT", raising=False)
+    y0 = fwd(p, x)
+    monkeypatch.setenv("NEOSR_QKV_LAYOUT", "bnhd")
+    # env is read at trace time: force a fresh trace
+    y1 = jax.jit(lambda p, x: net.apply({"params": p}, x))(p, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-4, atol=1e-5)

@@ -27,15 +27,32 @@ def load_events(trace_dir: str) -> list[dict]:
 
 def main() -> None:
     trace_dir = sys.argv[1]
-    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    events = load_events(trace_dir)
+    if len(sys.argv) > 2:
+        n_steps = int(sys.argv[2])
+    else:
+        # count the bare-integer per-step envelope spans
+        n_steps = sum(
+            1 for e in events
+            if e.get("ph") == "X" and e.get("name", "x").isdigit()
+            and "device_duration_ps" in (e.get("args") or {})
+        ) or 10
 
     by_source: collections.Counter = collections.Counter()
     by_scope: collections.Counter = collections.Counter()
     by_category: collections.Counter = collections.Counter()
     total = 0
-    for e in load_events(trace_dir):
+    for e in events:
         args = e.get("args")
         if e.get("ph") != "X" or not args or "device_duration_ps" not in args:
+            continue
+        # Skip ENVELOPE spans (the jit_<fn>(fingerprint) program span and
+        # the bare-integer per-step spans): they wrap the leaf HLO events
+        # and previously double-counted ~2/3 of "device total" into the
+        # "?" bucket (round-4's unattributed 75%).  A leaf always carries
+        # source/tf_op/hlo_category; envelopes carry none of them.
+        if ("source" not in args and "tf_op" not in args
+                and "hlo_category" not in args):
             continue
         dur_ms = int(args["device_duration_ps"]) / 1e9
         total += dur_ms
