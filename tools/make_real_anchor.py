@@ -31,6 +31,17 @@ dm_control / gymnasium_robotics (crumpled foil, leather, wood grain,
 four marbles, mosaic tile, concrete, grass — real photographs of real
 surfaces, visually screened; procedural/colorized game textures
 excluded), ~2.5x the v2 tile count.  VAL is still untouched.
+
+The --v4 mode addresses the round-4 verdict that every real-anchor
+margin was adjudicated on ONE held-out photograph (the reference
+protocol evaluates over a val *set*, reference image.py:792-922): it
+moves THREE visually distinct texture photographs (darkwood wood grain,
+tile1 mosaic, OutdoorGrassFloorD grass) from the v3 train side to a
+val-only role — the machine has no other unused real photographs, so an
+eval-only widening of v3 would score models on their own training
+images; v4 retrains instead.  Val = grace_hopper's 6 tiles + the center
+2x2 tiles of each held-out texture (balanced per image, 18 tiles / 4
+images); train = the v3 set minus those textures (481 tiles).
 """
 
 from __future__ import annotations
@@ -63,12 +74,19 @@ _TEXTURE_PATHS = [
 ]
 
 
-def _texture_images() -> list[np.ndarray]:
+# --v4 val-only holdouts (basename): wood grain / mosaic tile / grass —
+# three distinct surface statistics, never in the v4 train side
+_V4_VAL_TEXTURES = ("darkwood.png", "tile1.png", "OutdoorGrassFloorD.png")
+
+
+def _texture_images(exclude: tuple[str, ...] = ()) -> list[np.ndarray]:
     import sysconfig
 
     site = sysconfig.get_paths()["purelib"]
     out = []
     for rel in _TEXTURE_PATHS:
+        if os.path.basename(rel) in exclude:
+            continue
         p = os.path.join(site, rel)
         img = cv2.imread(p, cv2.IMREAD_COLOR) if os.path.exists(p) else None
         if img is not None:
@@ -76,13 +94,14 @@ def _texture_images() -> list[np.ndarray]:
     return out
 
 
-def _sources(v2: bool = False, v3: bool = False) -> tuple[list[np.ndarray], list[np.ndarray]]:
+def _sources(v2: bool = False, v3: bool = False,
+             v4: bool = False) -> tuple[list[np.ndarray], list[np.ndarray]]:
     import matplotlib
     from sklearn.datasets import load_sample_images
 
     train = [img.astype(np.uint8) for img in load_sample_images().images]
     if v3:
-        train += _texture_images()
+        train += _texture_images(exclude=_V4_VAL_TEXTURES if v4 else ())
     if v2:
         import pygame
 
@@ -102,7 +121,23 @@ def _sources(v2: bool = False, v3: bool = False) -> tuple[list[np.ndarray], list
         "mpl-data", "sample_data", "grace_hopper.jpg",
     )
     hopper = cv2.cvtColor(cv2.imread(hopper_path), cv2.COLOR_BGR2RGB)
-    return train, [hopper]
+    val = [hopper]
+    if v4:
+        import sysconfig
+
+        site = sysconfig.get_paths()["purelib"]
+        for rel in _TEXTURE_PATHS:
+            if os.path.basename(rel) not in _V4_VAL_TEXTURES:
+                continue
+            img = cv2.imread(os.path.join(site, rel), cv2.IMREAD_COLOR)
+            # balanced val contribution: the center 2x2 of 256-tiles, so a
+            # 1024^2 texture doesn't dominate the 4-image average
+            h, w = img.shape[:2]
+            y0 = (h - 512) // 2
+            x0 = (w - 512) // 2
+            val.append(cv2.cvtColor(img[y0:y0 + 512, x0:x0 + 512],
+                                    cv2.COLOR_BGR2RGB))
+    return train, val
 
 
 def _tiles(img: np.ndarray, size: int, stride: int) -> list[np.ndarray]:
@@ -121,16 +156,22 @@ def main() -> None:
     ap.add_argument("--v3", action="store_true",
                     help="further widen with the bundled photographic "
                          "surface textures (implies --v2)")
+    ap.add_argument("--v4", action="store_true",
+                    help="multi-image val: hold darkwood/tile1/grass OUT of "
+                         "the train side entirely and add their center 2x2 "
+                         "tiles to val (implies --v3)")
     ap.add_argument("--synthetic-gt", default="/tmp/anchor/gt",
                     help="GT folder of tools/make_anchor_dataset.py output "
                          "to mix in under --v2")
     args = ap.parse_args()
+    if args.v4:
+        args.v3 = True
     if args.v3:
         args.v2 = True
     for sub in ("gt", "lq", "val_gt", "val_lq"):
         os.makedirs(os.path.join(args.root, sub), exist_ok=True)
 
-    train_imgs, val_imgs = _sources(v2=args.v2, v3=args.v3)
+    train_imgs, val_imgs = _sources(v2=args.v2, v3=args.v3, v4=args.v4)
     n = 0
 
     def _emit(t: np.ndarray) -> None:
