@@ -197,12 +197,18 @@ def main() -> None:
             img = cv2.imread(p, cv2.IMREAD_COLOR)
             _emit(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
     m = 0
-    for img in val_imgs:
+    # Source-image id in the val tile NAME so per-image metric grouping
+    # (reference protocol: per-image accumulation over a val set,
+    # reference image.py:792-922) is derivable by any scorer — see
+    # tools/val_bars.py.  Single-image (v1-v3) splits keep img### names.
+    val_ids = ["hopper", "darkwood", "tile1", "grass"] if args.v4 else None
+    for i, img in enumerate(val_imgs):
         for t in _tiles(img, 256, 256):
             lq = cv2.resize(t, (64, 64), interpolation=cv2.INTER_CUBIC)
-            cv2.imwrite(os.path.join(args.root, "val_gt", f"img{m:03d}.png"),
+            stem = f"{val_ids[i]}_{m:03d}" if val_ids else f"img{m:03d}"
+            cv2.imwrite(os.path.join(args.root, "val_gt", f"{stem}.png"),
                         cv2.cvtColor(t, cv2.COLOR_RGB2BGR))
-            cv2.imwrite(os.path.join(args.root, "val_lq", f"img{m:03d}.png"),
+            cv2.imwrite(os.path.join(args.root, "val_lq", f"{stem}.png"),
                         cv2.cvtColor(lq, cv2.COLOR_RGB2BGR))
             m += 1
     print(f"real anchor dataset under {args.root}: {n} train / {m} val tiles")
