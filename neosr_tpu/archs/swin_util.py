@@ -226,11 +226,14 @@ class WindowAttention(nn.Module):
 
         qkv = nn.Dense(self.dim * 3, use_bias=self.qkv_bias, dtype=self.dtype,
                        param_dtype=jnp.float32, kernel_init=trunc_normal_init())(x)
-        if os.environ.get("NEOSR_QKV_LAYOUT", "bhnd") == "bnhd":
-            # transpose-free: the packed Dense output is [q|k|v] along the
-            # feature dim (the reference's qkv chunking), so a split +
-            # head reshape is layout-preserving and the head dim rides the
-            # einsum batch spec instead of a materialized 5-D transpose.
+        if os.environ.get("NEOSR_QKV_LAYOUT", "bnhd") == "bnhd":
+            # DEFAULT (round 5): transpose-free — the packed Dense output
+            # is [q|k|v] along the feature dim (the reference's qkv
+            # chunking), so a split + head reshape is layout-preserving
+            # and the head dim rides the einsum batch spec instead of a
+            # materialized 5-D transpose.  Measured +20.5% on the
+            # swinir_medium b8 train step (50.27 -> 60.58 p/s/chip,
+            # BENCH_NOTES round 5); bhnd kept as the kill-switch.
             q, k, v = (a.reshape(b_, n, self.num_heads, head_dim)
                        for a in jnp.split(qkv, 3, axis=-1))
             out = window_attention(q, k, v, bias=bias, mask=mask,

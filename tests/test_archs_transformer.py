@@ -91,10 +91,11 @@ def test_use_checkpoint_param_compatible():
 
 def test_qkv_layout_bnhd_parity(monkeypatch):
     """NEOSR_QKV_LAYOUT=bnhd (transpose-free einsum layout: head dim in the
-    dot's batch spec instead of a materialized 5-D transpose) is the SAME
-    math as the default bhnd path — full-net forward must match to float
-    reassociation noise (same contraction dims; XLA may tile the dots
-    differently for the two layouts)."""
+    dot's batch spec instead of a materialized 5-D transpose; the DEFAULT
+    since round 5, +20.5% on the swinir_medium train step) is the SAME
+    math as the bhnd kill-switch path — full-net forward must match to
+    float reassociation noise (same contraction dims; XLA may tile the
+    dots differently for the two layouts)."""
     import jax
 
     from neosr_tpu.archs import build_network
@@ -104,7 +105,7 @@ def test_qkv_layout_bnhd_parity(monkeypatch):
     p = jax.jit(net.init)(jax.random.key(1), x)["params"]
     fwd = jax.jit(lambda p, x: net.apply({"params": p}, x))
 
-    monkeypatch.delenv("NEOSR_QKV_LAYOUT", raising=False)
+    monkeypatch.setenv("NEOSR_QKV_LAYOUT", "bhnd")
     y0 = fwd(p, x)
     monkeypatch.setenv("NEOSR_QKV_LAYOUT", "bnhd")
     # env is read at trace time: force a fresh trace
