@@ -35,8 +35,14 @@ def compute_bars(root: str, crop_border: int = 4,
     names = sorted(os.listdir(os.path.join(root, "val_gt")))
     groups: dict[str, list[tuple[float, float]]] = defaultdict(list)
     for name in names:
-        gt = cv2.imread(os.path.join(root, "val_gt", name))
-        lq = cv2.imread(os.path.join(root, "val_lq", name))
+        # calculate_psnr/ssim take RGB (rgb2ycbcr Y transform, matching the
+        # val pipeline where tensor2img(rgb2bgr=False) feeds them) — convert
+        # from cv2's BGR or the R/B luma weights swap and near-saturated
+        # reddish textures (darkwood) score ~4 dB off.
+        gt = cv2.cvtColor(cv2.imread(os.path.join(root, "val_gt", name)),
+                          cv2.COLOR_BGR2RGB)
+        lq = cv2.cvtColor(cv2.imread(os.path.join(root, "val_lq", name)),
+                          cv2.COLOR_BGR2RGB)
         h, w = gt.shape[:2]
         up = cv2.resize(lq, (w, h), interpolation=cv2.INTER_CUBIC)
         p = calculate_psnr(up, gt, crop_border=crop_border,
